@@ -1,0 +1,113 @@
+"""Host-DRAM row staging ops, with an optional native C++ backend.
+
+The reference's cache manager stages rows between CPU and GPU with CUDA
+``index_select`` / ``index_copy_`` on pinned memory (implied by the buffer_size /
+async-copy flags, /root/reference/recsys/dlrm_main.py:121,134). On a TPU-VM the host
+side of that staging is a plain DRAM gather/scatter over a table that can be 90+ GB;
+single-threaded ``np.take`` becomes the bottleneck, so ``libhostops.so``
+(cachedembedding_tpu/_native/hostops.cpp) provides multi-threaded row gather/scatter
+via ctypes. Falls back to numpy transparently when the library isn't built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def _load_lib():
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    path = os.path.join(os.path.dirname(__file__), "libhostops.so")
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.gather_rows_f32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.scatter_rows_f32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.fill_uniform_f32.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_float, ctypes.c_float, ctypes.c_uint64,
+        ]
+        lib.bincount_i32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def native_available() -> bool:
+    return _load_lib() is not None
+
+
+def gather_rows(table: np.ndarray, idx: np.ndarray, out: np.ndarray | None = None) -> np.ndarray:
+    """out[i] = table[idx[i]] for 2-D float32 C-contiguous ``table``."""
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    if out is None:
+        out = np.empty((idx.shape[0], table.shape[1]), dtype=table.dtype)
+    lib = _load_lib()
+    if lib is not None and table.dtype == np.float32 and table.flags.c_contiguous:
+        lib.gather_rows_f32(
+            table.ctypes.data, idx.ctypes.data, out.ctypes.data,
+            idx.shape[0], table.shape[1], table.shape[0],
+        )
+        return out
+    np.take(table, idx, axis=0, out=out)
+    return out
+
+
+def scatter_rows(table: np.ndarray, idx: np.ndarray, values: np.ndarray) -> None:
+    """table[idx[i]] = values[i]."""
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    values = np.ascontiguousarray(values, dtype=table.dtype)
+    lib = _load_lib()
+    if lib is not None and table.dtype == np.float32 and table.flags.c_contiguous:
+        lib.scatter_rows_f32(
+            table.ctypes.data, idx.ctypes.data, values.ctypes.data,
+            idx.shape[0], table.shape[1], table.shape[0],
+        )
+        return
+    table[idx] = values
+
+
+def fill_uniform(buf: np.ndarray, low: float, high: float, seed: int) -> None:
+    """Fill a float32 buffer with U(low, high) — multithreaded for multi-GB tables."""
+    lib = _load_lib()
+    flat = buf.reshape(-1)
+    if lib is not None and buf.dtype == np.float32 and buf.flags.c_contiguous:
+        lib.fill_uniform_f32(flat.ctypes.data, flat.shape[0], low, high, seed)
+        return
+    rng = np.random.default_rng(seed)
+    # chunked to bound temp memory
+    chunk = 1 << 24
+    for i in range(0, flat.shape[0], chunk):
+        n = min(chunk, flat.shape[0] - i)
+        flat[i : i + n] = rng.uniform(low, high, size=n).astype(np.float32)
+
+
+def bincount(ids: np.ndarray, num_rows: int, out: np.ndarray | None = None) -> np.ndarray:
+    """Accumulating int64 bincount (the id-frequency pass,
+    /root/reference/recsys/datasets/feature_counter.py:21-29)."""
+    if out is None:
+        out = np.zeros((num_rows,), dtype=np.int64)
+    lib = _load_lib()
+    ids = np.ascontiguousarray(ids.reshape(-1), dtype=np.int64)
+    if lib is not None and out.flags.c_contiguous:
+        lib.bincount_i32(ids.ctypes.data, out.ctypes.data, ids.shape[0], num_rows)
+        return out
+    out += np.bincount(ids, minlength=num_rows).astype(np.int64)
+    return out

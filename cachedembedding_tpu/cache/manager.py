@@ -1,0 +1,413 @@
+"""CachedEmbeddingBag — host-DRAM embedding table with an HBM hot-row cache.
+
+Drop-in capability match for the reference's ``CachedEmbeddingBag``
+(constructor surface reconstructed in SURVEY.md §2.2 from
+/root/reference/benchmark/benchmark_cache.py:29-40 and
+/root/reference/recsys/models/dlrm.py:70-81): the full ``(num_embeddings, dim)``
+weight lives in TPU-VM host DRAM (numpy), and ``int(cache_ratio * num_embeddings)``
+rows are resident in an HBM ``cache_weight`` array that is the *trainable
+parameter* seen by jitted train steps.
+
+Split of responsibilities:
+  * device (jit): ``plan_ids`` state machine, slot gather/scatter, lookup+pool.
+  * host (this class): reads the small plan arrays back, gathers/scatters rows of
+    the host table (multithreaded C++ when built), buckets transfer sizes to bound
+    recompilation, tracks swap statistics, and runs the optional async staging
+    thread that overlaps host->HBM row movement with the train step (the analog of
+    ``set_cache_mgr_async_copy``, /root/reference/recsys/dlrm_main.py:121,354).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cachedembedding_tpu._native import hostops
+from cachedembedding_tpu.cache.state import (
+    CacheState,
+    EvictionStrategy,
+    Plan,
+    gather_slots,
+    init_cache_state,
+    plan_ids,
+    remap_ids,
+    scatter_admits,
+)
+from cachedembedding_tpu.jagged import RaggedFeatures
+from cachedembedding_tpu.ops.embedding_bag import embedding_bag
+
+
+@dataclass
+class CacheStats:
+    """Swap/hit statistics — ``print_comm_stats`` parity
+    (/root/reference/benchmark/benchmark_cache.py:74-75,
+    /root/reference/recsys/dlrm_main.py:284-294)."""
+
+    num_hits_history: List[int] = field(default_factory=list)
+    num_miss_history: List[int] = field(default_factory=list)
+    num_write_back_history: List[int] = field(default_factory=list)
+    swap_in_bytes: int = 0
+    swap_out_bytes: int = 0
+    swap_in_time: float = 0.0
+    swap_out_time: float = 0.0
+    prepare_calls: int = 0
+
+    def hit_rate(self, window: int = 0) -> float:
+        hits = self.num_hits_history[-window:] if window else self.num_hits_history
+        miss = self.num_miss_history[-window:] if window else self.num_miss_history
+        tot = sum(hits) + sum(miss)
+        return sum(hits) / tot if tot else 0.0
+
+    def summary(self) -> str:
+        gib = 1024 ** 3
+        in_bw = self.swap_in_bytes / self.swap_in_time / gib if self.swap_in_time else 0.0
+        out_bw = self.swap_out_bytes / self.swap_out_time / gib if self.swap_out_time else 0.0
+        return (
+            f"CacheStats: prepare_calls={self.prepare_calls} "
+            f"hit_rate={self.hit_rate():.4f} "
+            f"swap_in={self.swap_in_bytes / gib:.3f}GiB @ {in_bw:.2f}GiB/s "
+            f"swap_out={self.swap_out_bytes / gib:.3f}GiB @ {out_bw:.2f}GiB/s"
+        )
+
+
+def _bucket(n: int, lo: int = 1024) -> int:
+    """Round a transfer size up to a power-of-two bucket to bound recompiles."""
+    b = lo
+    while b < n:
+        b <<= 1
+    return b
+
+
+def default_table_init(
+    table_sizes: Sequence[int], embedding_dim: int, seed: int
+) -> Callable[[np.ndarray], None]:
+    """Per-table U(-1/sqrt(n), 1/sqrt(n)) init (torchrec EmbeddingBagConfig default,
+    used by the reference models' EBC path)."""
+
+    def init(host_weight: np.ndarray) -> None:
+        off = 0
+        for t, n in enumerate(table_sizes):
+            bound = float(n) ** -0.5
+            hostops.fill_uniform(host_weight[off : off + n], -bound, bound, seed + t)
+            off += n
+        assert off == host_weight.shape[0]
+
+    return init
+
+
+class CachedEmbeddingBag:
+    """Frequency-aware software-cached EmbeddingBag (single device).
+
+    Parameters mirror the reference (SURVEY.md §2.2). ``table_sizes`` optionally
+    records the logical tables fused into this bag's global id space (the reference
+    fuses tables by offsetting ids in the dataloader,
+    /root/reference/recsys/datasets/criteo.py:118,170-173).
+    """
+
+    def __init__(
+        self,
+        num_embeddings: int,
+        embedding_dim: int,
+        *,
+        mode: str = "sum",
+        include_last_offset: bool = True,
+        cache_ratio: float = 0.01,
+        cuda_row_num: Optional[int] = None,  # reference's explicit capacity knob
+        ids_freq_mapping: Optional[np.ndarray] = None,
+        warmup_ratio: float = 0.7,
+        buffer_size: int = 50_000,
+        pin_weight: bool = True,
+        evict_strategy: EvictionStrategy = EvictionStrategy.LFU,
+        dtype=jnp.float32,
+        table_sizes: Optional[Sequence[int]] = None,
+        seed: int = 1024,
+        unique_budget: Optional[int] = None,
+        initial_weight: Optional[np.ndarray] = None,
+        approx_evict: bool = False,
+        use_pallas_lookup: bool = False,
+        device: Optional[jax.Device] = None,
+    ):
+        self.num_embeddings = int(num_embeddings)
+        self.embedding_dim = int(embedding_dim)
+        self.mode = mode
+        self.include_last_offset = include_last_offset
+        capacity = cuda_row_num if cuda_row_num is not None else int(cache_ratio * num_embeddings)
+        self.capacity = max(1, min(int(capacity), self.num_embeddings))
+        self.buffer_size = int(buffer_size)
+        self.evict_strategy = evict_strategy
+        self.dtype = dtype
+        self.table_sizes = list(table_sizes) if table_sizes is not None else [self.num_embeddings]
+        assert sum(self.table_sizes) == self.num_embeddings
+        self.unique_budget = unique_budget  # resolved lazily per ids-length
+        self.approx_evict = approx_evict
+        self.use_pallas_lookup = use_pallas_lookup
+        self.device = device
+
+        # --- host-DRAM master weight ---
+        if initial_weight is not None:
+            assert initial_weight.shape == (self.num_embeddings, self.embedding_dim)
+            self.host_weight = np.ascontiguousarray(initial_weight, dtype=np.float32)
+        else:
+            self.host_weight = np.empty(
+                (self.num_embeddings, self.embedding_dim), dtype=np.float32
+            )
+            default_table_init(self.table_sizes, self.embedding_dim, seed)(self.host_weight)
+
+        # --- device cache ---
+        self.state = init_cache_state(self.num_embeddings, self.capacity)
+        self.cache_weight = jnp.zeros((self.capacity, self.embedding_dim), dtype=dtype)
+
+        self.dataset_freq: Optional[jnp.ndarray] = None
+        if ids_freq_mapping is not None:
+            freq = np.ascontiguousarray(ids_freq_mapping, dtype=np.int64)
+            assert freq.shape[0] == self.num_embeddings
+            self._host_freq = freq
+            if evict_strategy == EvictionStrategy.DATASET:
+                self.dataset_freq = jnp.asarray(np.minimum(freq, 2**31 - 1), dtype=jnp.int32)
+        else:
+            self._host_freq = None
+            if evict_strategy == EvictionStrategy.DATASET:
+                raise ValueError("DATASET eviction requires ids_freq_mapping")
+
+        self.stats = CacheStats()
+        self.cache_op = True
+        self._async = False
+        self._async_thread: Optional[threading.Thread] = None
+        self._async_q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        if self._host_freq is not None and warmup_ratio > 0:
+            self._warmup(warmup_ratio)
+
+    # -- reference-API aliases ------------------------------------------------
+    @property
+    def cache_weight_mgr(self) -> "CachedEmbeddingBag":
+        # The reference exposes the manager as ``embed.cache_weight_mgr``
+        # (/root/reference/recsys/dlrm_main.py:259); here bag and manager are one.
+        return self
+
+    def set_cache_op(self, cache_op: bool) -> None:
+        self.cache_op = cache_op
+
+    def set_cache_mgr_async_copy(self, flag: bool) -> None:
+        self._async = bool(flag)
+
+    def element_size(self) -> int:
+        return jnp.dtype(self.dtype).itemsize
+
+    @property
+    def num_hits_history(self) -> List[int]:
+        return self.stats.num_hits_history
+
+    @property
+    def num_miss_history(self) -> List[int]:
+        return self.stats.num_miss_history
+
+    def print_comm_stats(self) -> None:
+        print(self.stats.summary())
+
+    print_comm_stats_ = print_comm_stats
+
+    # -- warmup ---------------------------------------------------------------
+    def _warmup(self, warmup_ratio: float) -> None:
+        """Preload the hottest ``warmup_ratio * capacity`` rows by dataset frequency
+        (reference default 0.7, /root/reference/recsys/dlrm_main.py:133)."""
+        k = min(int(warmup_ratio * self.capacity), self.num_embeddings)
+        if k <= 0:
+            return
+        freq = self._host_freq
+        top = np.argpartition(freq, -k)[-k:].astype(np.int64)
+        # state arrays built host-side, then shipped once
+        s2r = np.full((self.capacity,), -1, np.int32)
+        r2s = np.full((self.num_embeddings,), -1, np.int32)
+        s2r[:k] = top
+        r2s[top] = np.arange(k, dtype=np.int32)
+        if self.evict_strategy == EvictionStrategy.DATASET:
+            sfreq = np.zeros((self.capacity,), np.int32)
+            sfreq[:k] = np.minimum(freq[top], 2**31 - 1)
+        else:
+            # Seed LFU counters with (capped) dataset frequency so warm rows are not
+            # immediately evicted before earning runtime hits.
+            sfreq = np.zeros((self.capacity,), np.int32)
+            sfreq[:k] = np.minimum(freq[top], 2**31 - 1)
+        self.state = CacheState(
+            slot_to_row=jnp.asarray(s2r),
+            row_to_slot=jnp.asarray(r2s),
+            slot_freq=jnp.asarray(sfreq),
+        )
+        t0 = time.perf_counter()
+        rows = hostops.gather_rows(self.host_weight, top)
+        cw = np.zeros((self.capacity, self.embedding_dim), np.float32)
+        cw[:k] = rows
+        self.cache_weight = jnp.asarray(cw, dtype=self.dtype)
+        self.stats.swap_in_bytes += rows.nbytes
+        self.stats.swap_in_time += time.perf_counter() - t0
+
+    # -- the core: prepare_ids ------------------------------------------------
+    def prepare_ids(self, ids) -> jnp.ndarray:
+        """Make every id resident and return ids remapped to cache-slot space
+        (/root/reference/recsys/dlrm_main.py:259). Accepts numpy or jnp int ids."""
+        ids_dev = jnp.asarray(ids, dtype=jnp.int32)
+        L = int(ids_dev.shape[0])
+        budget = self.unique_budget or L
+        new_state, plan = plan_ids(
+            self.state,
+            ids_dev,
+            self.dataset_freq,
+            unique_budget=budget,
+            strategy=self.evict_strategy,
+            approx_evict=self.approx_evict,
+        )
+        self.state = new_state
+        self._execute_plan(plan, budget)
+        return remap_ids(self.state, ids_dev)
+
+    def _execute_plan(self, plan: Plan, budget: int) -> None:
+        """Move rows host<->HBM per the plan. Reads the (small) plan index arrays
+        back to host; the row payloads move in buffer_size-bounded chunks
+        (/root/reference/recsys/dlrm_main.py:134-135 semantics)."""
+        n_miss = int(plan.n_miss)
+        n_unique = int(plan.n_unique)
+        U = min(budget, self.capacity)
+        if n_unique > U:
+            raise RuntimeError(
+                f"prepare_ids overflow: {n_unique} unique ids > unique budget {U} "
+                f"(capacity {self.capacity}). Reduce prefetch_num/batch or raise "
+                f"cache_ratio/unique_budget."
+            )
+        if not bool(plan.capacity_ok):
+            raise RuntimeError(
+                f"cache capacity exhausted: working set of this prepare_ids call "
+                f"needs more than {self.capacity} slots."
+            )
+        self.stats.prepare_calls += 1
+        self.stats.num_hits_history.append(int(plan.n_hit_unique))
+        self.stats.num_miss_history.append(n_miss)
+        if n_miss == 0:
+            self.stats.num_write_back_history.append(0)
+            return
+
+        admit_rows = np.asarray(plan.admit_rows[:_bucket(n_miss)])[:n_miss]
+        admit_slots_np = np.asarray(plan.admit_slots[:_bucket(n_miss)])[:n_miss]
+        evict_rows = np.asarray(plan.evict_rows[:_bucket(n_miss)])[:n_miss]
+
+        row_bytes = self.embedding_dim * 4
+        chunk = self.buffer_size if self.buffer_size > 0 else n_miss
+        n_wb = 0
+        for s in range(0, n_miss, chunk):
+            e = min(s + chunk, n_miss)
+            b = _bucket(e - s)
+            # ---- write back evicted rows (HBM -> host) ----
+            ev_rows_c = evict_rows[s:e]
+            wb_mask = ev_rows_c >= 0
+            if wb_mask.any():
+                t0 = time.perf_counter()
+                slots_c = np.full((b,), -1, np.int32)
+                slots_c[: e - s] = admit_slots_np[s:e]
+                vals = np.asarray(gather_slots(self.cache_weight, jnp.asarray(slots_c)))
+                hostops.scatter_rows(
+                    self.host_weight, ev_rows_c[wb_mask], vals[: e - s][wb_mask]
+                )
+                nb = int(wb_mask.sum())
+                n_wb += nb
+                self.stats.swap_out_bytes += nb * row_bytes
+                self.stats.swap_out_time += time.perf_counter() - t0
+            # ---- admit missing rows (host -> HBM) ----
+            t0 = time.perf_counter()
+            rows_c = np.zeros((b,), np.int64)
+            rows_c[: e - s] = admit_rows[s:e]
+            slots_c = np.full((b,), -1, np.int32)
+            slots_c[: e - s] = admit_slots_np[s:e]
+            vals = hostops.gather_rows(self.host_weight, rows_c)
+            self.cache_weight = scatter_admits(
+                self.cache_weight,
+                jnp.asarray(slots_c),
+                jnp.asarray(vals, dtype=self.dtype),
+            )
+            self.stats.swap_in_bytes += (e - s) * row_bytes
+            self.stats.swap_in_time += time.perf_counter() - t0
+        self.stats.num_write_back_history.append(n_wb)
+
+    # -- lookup / forward -----------------------------------------------------
+    def lookup(self, features: RaggedFeatures) -> jnp.ndarray:
+        """Pooled lookup of cache-slot-space features: (B, F, D)."""
+        return embedding_bag(
+            self.cache_weight, features, mode=self.mode, use_pallas=self.use_pallas_lookup
+        )
+
+    def forward(
+        self,
+        values,
+        offsets=None,
+        per_sample_weights=None,
+        shape_hook: Optional[Callable] = None,
+        *,
+        num_features: int = 1,
+        batch_size: Optional[int] = None,
+    ) -> jnp.ndarray:
+        """Stateful EmbeddingBag-style forward (the benchmark/bare-module path,
+        /root/reference/benchmark/benchmark_cache.py:58-72). ``values``/``offsets``
+        follow include_last_offset semantics. When ``self.cache_op`` the ids are
+        global and cache maintenance runs inline; otherwise they are already
+        cache-slot ids from a prior prepare_ids."""
+        if per_sample_weights is not None:
+            raise NotImplementedError("per_sample_weights is not supported")
+        values = jnp.asarray(values, dtype=jnp.int32)
+        if self.cache_op:
+            values = self.prepare_ids(values)
+        if batch_size is None:
+            nb = (offsets.shape[0] - 1) if offsets is not None else values.shape[0]
+            batch_size = nb // num_features
+        feats = RaggedFeatures(
+            values=values,
+            offsets=None if offsets is None else jnp.asarray(offsets, jnp.int32),
+            num_features=num_features,
+            batch_size=batch_size,
+            pooling=1 if offsets is None else None,
+        )
+        out = self.lookup(feats)
+        if shape_hook is not None:
+            out = shape_hook(out)
+        return out
+
+    __call__ = forward
+
+    # -- checkpoint/flush -----------------------------------------------------
+    def flush(self) -> None:
+        """Write every resident (dirty) cached row back to the host table — needed
+        before checkpoint/eval snapshots (SURVEY.md §5 notes the reference implies
+        this capability)."""
+        s2r = np.asarray(self.state.slot_to_row)
+        resident = np.nonzero(s2r >= 0)[0]
+        if resident.size == 0:
+            return
+        chunk = self.buffer_size if self.buffer_size > 0 else resident.size
+        t0 = time.perf_counter()
+        for s in range(0, resident.size, chunk):
+            e = min(s + chunk, resident.size)
+            b = _bucket(e - s)
+            slots_c = np.full((b,), -1, np.int32)
+            slots_c[: e - s] = resident[s:e]
+            vals = np.asarray(gather_slots(self.cache_weight, jnp.asarray(slots_c)))
+            hostops.scatter_rows(self.host_weight, s2r[resident[s:e]], vals[: e - s])
+        self.stats.swap_out_bytes += resident.size * self.embedding_dim * 4
+        self.stats.swap_out_time += time.perf_counter() - t0
+
+    def dense_weight(self) -> np.ndarray:
+        """Full logically-consistent weight (flushes first). For tests/checkpoints."""
+        self.flush()
+        return self.host_weight
+
+    # -- functional-param plumbing -------------------------------------------
+    def get_param(self) -> jnp.ndarray:
+        return self.cache_weight
+
+    def set_param(self, cache_weight: jnp.ndarray) -> None:
+        """Rebind the trainable cache weight after an optimizer step."""
+        self.cache_weight = cache_weight

@@ -1,0 +1,98 @@
+"""Structured configuration for the framework.
+
+The reference drives everything through argparse flags extended from ColossalAI's
+default parser (/root/reference/recsys/dlrm_main.py:23-174) plus env-var matrices in
+bash (/root/reference/scripts/kaggle.sh:8-16,64-83). Here the single source of truth
+is a pair of dataclasses; the CLI (cachedembedding_tpu/train/dlrm_main.py) maps
+flags onto them 1:1 so every reference flag has a home.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass
+class CacheConfig:
+    """Software-cache knobs (reference contract: SURVEY.md §2.2;
+    /root/reference/recsys/dlrm_main.py:124-135)."""
+
+    cache_ratio: float = 0.01          # --cache_ratio
+    warmup_ratio: float = 0.7          # --warmup_ratio
+    buffer_size: int = 50_000          # --buffer_size; 0 disables the bounded staging buffer
+    use_lfu_eviction: bool = False     # --use_lfu: LFU vs DATASET eviction
+    use_freq: bool = True              # --use_freq: seed cache with dataset id frequency
+    prefetch_num: int = 1              # --prefetch_num: far-sighted prefetch depth
+    use_overlap: bool = True           # --use_overlap: async host<->HBM row staging
+    pin_weight: bool = True            # pin host weight (numpy is always "pinned" on TPU-VM)
+    # TPU-specific knobs (no reference analog):
+    approx_evict: bool = False         # use approx_min_k for victim selection
+    use_pallas_lookup: bool = False    # Pallas gather+pool kernel vs XLA take/segment-sum
+
+
+@dataclasses.dataclass
+class DLRMConfig:
+    """Model + training hyperparameters (defaults mirror
+    /root/reference/recsys/dlrm_main.py:102-174 and BASELINE.md)."""
+
+    # model
+    num_embeddings_per_feature: Sequence[int] = ()
+    embedding_dim: int = 128
+    dense_in_features: int = 13
+    dense_arch_layer_sizes: Tuple[int, ...] = (512, 256, 128)
+    over_arch_layer_sizes: Tuple[int, ...] = (1024, 1024, 512, 256, 1)
+    reduction_mode: str = "sum"
+
+    # training
+    batch_size: int = 16384
+    learning_rate: float = 1.0         # sparse LR; dense LR is scaled by data-parallel size
+    epochs: int = 1
+    seed: int = 1024
+    change_lr: bool = False            # --change_lr / --lr_change_point / --lr_after
+    lr_change_point: float = 0.8
+    lr_after: float = 0.2
+    shuffle_batches: bool = False
+
+    # evaluation
+    validation_freq_within_epoch: Optional[int] = None
+
+    # parallelism
+    mesh_shape: Tuple[int, ...] = (1,)
+    use_tablewise: bool = False        # tablewise (EP-style) vs column-wise sharding
+    fused_op: str = "all_to_all"       # --fused_op: all_to_all | gather_scatter
+
+    # precision
+    compute_dtype: str = "float32"     # dense tower matmul dtype ("bfloat16" for MXU speed)
+
+    cache: CacheConfig = dataclasses.field(default_factory=CacheConfig)
+
+    @property
+    def num_sparse_features(self) -> int:
+        return len(self.num_embeddings_per_feature)
+
+    @property
+    def total_num_embeddings(self) -> int:
+        return int(sum(self.num_embeddings_per_feature))
+
+
+# Dataset constants mirrored from the reference
+# (/root/reference/recsys/datasets/criteo.py:29-34, recsys/datasets/avazu.py:30-36).
+CRITEO_1TB_NUM_EMBEDDINGS_PER_FEATURE = [
+    45833188, 36746, 17245, 7413, 20243, 3, 7114, 1441, 62, 29275261, 1572176,
+    345138, 10, 2209, 11267, 128, 4, 974, 14, 48937457, 11316796, 40094537,
+    452104, 12606, 104, 35,
+]
+CRITEO_KAGGLE_NUM_EMBEDDINGS_PER_FEATURE = [
+    1460, 583, 10131227, 2202608, 305, 24, 12517, 633, 3, 93145, 5683, 8351593,
+    3194, 27, 14992, 5461306, 10, 5652, 2173, 4, 7046547, 18, 15, 286181, 105,
+    142572,
+]
+AVAZU_NUM_EMBEDDINGS_PER_FEATURE = [
+    7, 7, 4737, 7745, 26, 8552, 559, 36, 2686408, 6729486, 8251, 5, 4,
+]
+
+CRITEO_NUM_DENSE = 13
+AVAZU_NUM_DENSE = 8
+CRITEO_KAGGLE_TOTAL_TRAINING_SAMPLES = 39_291_954  # criteo.py:36
+AVAZU_TOTAL_TRAINING_SAMPLES = 36_386_071  # avazu.py:35

@@ -1,0 +1,160 @@
+"""DLRM dense towers + feature interaction, pure functional JAX.
+
+Architecture parity with the reference (behavior, not code):
+  * DenseArch — MLP with ReLU on every layer
+    (/root/reference/baselines/models/dlrm.py:106-141).
+  * InteractionArch — concat [dense_emb, sparse (B,F,D)], pairwise dot products via
+    batched matmul, upper-triangle (offset=1) flatten, concat with dense_emb
+    (/root/reference/baselines/models/dlrm.py:143-207).
+  * OverArch — MLP with ReLU on all but the final linear layer
+    (/root/reference/baselines/models/dlrm.py:209-254).
+  * FusedDenseModules wiring incl. the dense_in_features<=0 degenerate case
+    (/root/reference/recsys/models/dlrm.py:116-141).
+
+TPU notes: the pairwise interaction is a single (B, F+1, D) x (B, D, F+1) batched
+matmul — MXU-friendly; the triu gather is a static index take that XLA fuses.
+Matmuls run in ``compute_dtype`` (bfloat16 by default on TPU) with float32
+accumulation/params. Linear init matches torch.nn.Linear defaults
+(kaiming-uniform(a=sqrt(5)) weights, uniform(+-1/sqrt(fan_in)) bias) so training
+dynamics track the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def choose(n: int, k: int) -> int:
+    return math.comb(n, k) if 0 <= k <= n else 0
+
+
+# ---------------------------------------------------------------------------
+# Linear / MLP
+# ---------------------------------------------------------------------------
+
+def _linear_init(key, in_f: int, out_f: int) -> Dict[str, jnp.ndarray]:
+    """torch.nn.Linear default init: W ~ kaiming_uniform(a=sqrt(5)) ==
+    U(+-sqrt(6 / ((1+5) * fan_in))) = U(+-1/sqrt(fan_in)); b ~ U(+-1/sqrt(fan_in))."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_f)
+    return {
+        "w": jax.random.uniform(kw, (in_f, out_f), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(kb, (out_f,), jnp.float32, -bound, bound),
+    }
+
+
+def _mlp_init(key, in_f: int, layer_sizes: Sequence[int]) -> List[Dict[str, jnp.ndarray]]:
+    layers = []
+    for out_f in layer_sizes:
+        key, sub = jax.random.split(key)
+        layers.append(_linear_init(sub, in_f, out_f))
+        in_f = out_f
+    return layers
+
+
+def _linear(params: Dict[str, jnp.ndarray], x: jnp.ndarray, dtype) -> jnp.ndarray:
+    y = jnp.dot(x.astype(dtype), params["w"].astype(dtype), preferred_element_type=jnp.float32)
+    return y + params["b"]
+
+
+def _mlp(layers: List[Dict[str, jnp.ndarray]], x: jnp.ndarray, dtype, final_relu: bool = True) -> jnp.ndarray:
+    for i, p in enumerate(layers):
+        x = _linear(p, x, dtype)
+        if final_relu or i + 1 < len(layers):
+            x = jax.nn.relu(x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# DLRM dense modules
+# ---------------------------------------------------------------------------
+
+class DLRMParams(NamedTuple):
+    dense_arch: List[Dict[str, jnp.ndarray]]
+    over_arch: List[Dict[str, jnp.ndarray]]
+
+
+def _triu_indices(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    r, c = np.triu_indices(n, k=1)
+    return r.astype(np.int32), c.astype(np.int32)
+
+
+def interaction_arch(
+    dense_emb: Optional[jnp.ndarray], sparse_bfd: jnp.ndarray, dtype=jnp.float32
+) -> jnp.ndarray:
+    """Pairwise-dot interaction. dense_emb (B, D) or None; sparse (B, F, D).
+    Returns (B, D + F+nd choose 2) with nd = 1 if dense_emb is not None."""
+    if dense_emb is not None:
+        combined = jnp.concatenate([dense_emb[:, None, :], sparse_bfd], axis=1)  # (B, F+1, D)
+    else:
+        combined = sparse_bfd
+    inter = jnp.einsum(
+        "bfd,bgd->bfg",
+        combined.astype(dtype),
+        combined.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    r, c = _triu_indices(combined.shape[1])
+    flat = inter[:, r, c]  # (B, n choose 2)
+    if dense_emb is not None:
+        return jnp.concatenate([dense_emb, flat], axis=1)
+    return flat
+
+
+def init_dlrm_dense(
+    key,
+    embedding_dim: int,
+    num_sparse_features: int,
+    dense_in_features: int,
+    dense_arch_layer_sizes: Sequence[int],
+    over_arch_layer_sizes: Sequence[int],
+) -> DLRMParams:
+    """Init the FusedDenseModules analog (/root/reference/recsys/models/dlrm.py:120-134)."""
+    k1, k2 = jax.random.split(key)
+    if dense_in_features <= 0:
+        dense_arch: List[Dict[str, jnp.ndarray]] = []
+        over_in = choose(num_sparse_features, 2)
+    else:
+        assert dense_arch_layer_sizes[-1] == embedding_dim, (
+            "DenseArch output dim must equal embedding_dim for the interaction"
+        )
+        dense_arch = _mlp_init(k1, dense_in_features, dense_arch_layer_sizes)
+        over_in = embedding_dim + choose(num_sparse_features + 1, 2)
+    if len(over_arch_layer_sizes) <= 1:
+        raise ValueError("OverArch must have multiple layers.")
+    over_arch = _mlp_init(k2, over_in, over_arch_layer_sizes)
+    return DLRMParams(dense_arch=dense_arch, over_arch=over_arch)
+
+
+def dlrm_dense_forward(
+    params: DLRMParams,
+    dense_features: Optional[jnp.ndarray],
+    sparse_bfd: jnp.ndarray,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """(dense (B, Din), sparse (B, F, D)) -> logits (B,)."""
+    if params.dense_arch:
+        dense_emb = _mlp(params.dense_arch, dense_features, compute_dtype, final_relu=True)
+    else:
+        dense_emb = None
+    x = interaction_arch(dense_emb, sparse_bfd, dtype=compute_dtype)
+    # OverArch: ReLU MLP on all but the last layer, plain final linear
+    # (/root/reference/baselines/models/dlrm.py:226-234).
+    hidden, last = params.over_arch[:-1], params.over_arch[-1]
+    x = _mlp(hidden, x, compute_dtype, final_relu=True)
+    logits = _linear(last, x, compute_dtype)
+    return logits[:, 0]
+
+
+def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean BCEWithLogitsLoss (/root/reference/recsys/dlrm_main.py:271-276)."""
+    labels = labels.astype(logits.dtype)
+    return jnp.mean(
+        jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )

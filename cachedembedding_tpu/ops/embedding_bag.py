@@ -1,0 +1,101 @@
+"""Embedding-bag lookup + pooling ops.
+
+The reference leans on ATen's CUDA EmbeddingBag forward/backward
+(/root/reference/benchmark/benchmark_cache.py:62 and every model forward). The TPU
+equivalents here:
+
+  * ``bag_pool_uniform`` — the hot path. Criteo/Avazu have exactly one id per
+    (sample, feature); synth/custom datasets a fixed pooling factor P. Lookup is a
+    gather ``(F, B, P) -> (F, B, P, D)`` followed by a sum/mean over P. XLA lowers
+    the gather to a DynamicGather and the reduction fuses with it; backward is a
+    scatter-add which XLA emits as a sorted segment-sum.
+  * ``bag_pool_ragged`` — general ragged bags via ``jax.ops.segment_sum`` over a
+    flat value stream (the KJT layout).
+  * An optional Pallas kernel path (cachedembedding_tpu.ops.pallas_bag) is wired in
+    by ``embedding_bag`` when enabled; it double-buffers row DMAs from HBM and
+    accumulates in VMEM.
+
+All ops are differentiable w.r.t. ``weight`` only; ids are int and non-diff.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from cachedembedding_tpu.jagged import RaggedFeatures
+
+
+def bag_pool_uniform(
+    weight: jnp.ndarray,
+    ids_fbp: jnp.ndarray,
+    mode: str = "sum",
+) -> jnp.ndarray:
+    """Pooled lookup for uniform pooling.
+
+    weight: (C, D); ids_fbp: (F, B, P) int32 indices into weight.
+    Returns (B, F, D) — the layout DLRM's InteractionArch consumes
+    (/root/reference/baselines/models/dlrm.py:99-101).
+    """
+    rows = jnp.take(weight, ids_fbp, axis=0)  # (F, B, P, D)
+    if mode == "sum":
+        pooled = jnp.sum(rows, axis=2)
+    elif mode == "mean":
+        pooled = jnp.mean(rows, axis=2)
+    else:
+        raise ValueError(f"unsupported mode {mode!r}")
+    return jnp.transpose(pooled, (1, 0, 2))  # (B, F, D)
+
+
+def bag_pool_ragged(
+    weight: jnp.ndarray,
+    values: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_bags: int,
+    mode: str = "sum",
+) -> jnp.ndarray:
+    """Pooled lookup for ragged bags.
+
+    values: (L,) ids; segment_ids: (L,) bag index per id (monotonic, feature-major);
+    returns (num_bags, D). Empty bags produce zeros (sum) — matching EmbeddingBag's
+    include_last_offset semantics.
+    """
+    rows = jnp.take(weight, values, axis=0)  # (L, D)
+    pooled = jax.ops.segment_sum(rows, segment_ids, num_segments=num_bags, indices_are_sorted=True)
+    if mode == "mean":
+        counts = jax.ops.segment_sum(
+            jnp.ones((values.shape[0],), weight.dtype),
+            segment_ids,
+            num_segments=num_bags,
+            indices_are_sorted=True,
+        )
+        pooled = pooled / jnp.maximum(counts, 1.0)[:, None]
+    elif mode != "sum":
+        raise ValueError(f"unsupported mode {mode!r}")
+    return pooled
+
+
+def embedding_bag(
+    weight: jnp.ndarray,
+    features: RaggedFeatures,
+    mode: str = "sum",
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Dispatching lookup: (B, F, D) for uniform pooling, else (F*B, D) reshaped to
+    (B, F, D) from the feature-major ragged stream."""
+    F, B = features.num_features, features.batch_size
+    if features.pooling is not None:
+        if use_pallas and features.pooling == 1:
+            from cachedembedding_tpu.ops.pallas_bag import gather_rows_pallas
+
+            # P == 1: pure gather, no pooling reduction needed.
+            flat = gather_rows_pallas(weight, features.values)  # (F*B, D)
+            return jnp.transpose(flat.reshape(F, B, -1), (1, 0, 2))
+        return bag_pool_uniform(weight, features.to_fbp(), mode=mode)
+    pooled = bag_pool_ragged(
+        weight, features.values, features.segment_ids(), num_bags=F * B, mode=mode
+    )  # (F*B, D) feature-major
+    return jnp.transpose(pooled.reshape(F, B, -1), (1, 0, 2))

@@ -1,0 +1,258 @@
+"""Single-host trainer: cached embedding + DLRM dense towers.
+
+Capability parity with the reference hot loop (/root/reference/recsys/dlrm_main.py:206-333):
+  * far-sighted prefetch — every ``prefetch_num`` iterations, the ids of the next
+    ``prefetch_num`` batches are concatenated and pushed through ``prepare_ids``
+    once, then each batch trains on cache-slot ids with cache maintenance off
+    (``cache_op=False`` analog, /root/reference/recsys/dlrm_main.py:243-269);
+  * split sparse/dense SGD learning rates, dense LR scaled by data-parallel size
+    (/root/reference/recsys/dlrm_main.py:455-461);
+  * optional LR decay after a fraction of the epoch (--change_lr / --lr_change_point
+    / --lr_after, /root/reference/recsys/dlrm_main.py:226-234);
+  * eval with AUROC/Accuracy accumulated across batches
+    (/root/reference/recsys/dlrm_main.py:300-333).
+
+The jitted step donates the parameter buffers so SGD updates are in-place in HBM.
+Host->HBM row staging for window k+1 overlaps with window k's compute when
+``use_overlap`` is on (JAX async dispatch: the train steps for window k are already
+enqueued when the host starts staging k+1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cachedembedding_tpu.cache.manager import CachedEmbeddingBag
+from cachedembedding_tpu.config import DLRMConfig
+from cachedembedding_tpu.jagged import Batch, RaggedFeatures
+from cachedembedding_tpu.models.dlrm import (
+    DLRMParams,
+    bce_with_logits,
+    dlrm_dense_forward,
+    init_dlrm_dense,
+)
+from cachedembedding_tpu.ops.embedding_bag import embedding_bag
+from cachedembedding_tpu.utils.metrics import StreamingMetrics
+
+
+@dataclasses.dataclass
+class TrainReport:
+    losses: List[float]
+    it_per_s: float
+    examples_per_s: float
+    hit_rate: float
+    eval_metrics: Optional[dict] = None
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mode", "compute_dtype_name", "use_pallas"),
+    donate_argnames=("dense_params", "cache_weight"),
+)
+def _train_step(
+    dense_params: DLRMParams,
+    cache_weight: jnp.ndarray,
+    dense_features: jnp.ndarray,
+    slot_features: RaggedFeatures,
+    labels: jnp.ndarray,
+    sparse_lr: jnp.ndarray,
+    dense_lr: jnp.ndarray,
+    mode: str = "sum",
+    compute_dtype_name: str = "float32",
+    use_pallas: bool = False,
+):
+    compute_dtype = jnp.dtype(compute_dtype_name)
+
+    def loss_fn(dp, cw):
+        sparse_bfd = embedding_bag(cw, slot_features, mode=mode, use_pallas=use_pallas)
+        logits = dlrm_dense_forward(dp, dense_features, sparse_bfd, compute_dtype)
+        return bce_with_logits(logits, labels)
+
+    loss, (g_dense, g_cache) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+        dense_params, cache_weight
+    )
+    new_dense = jax.tree_util.tree_map(lambda p, g: p - dense_lr * g, dense_params, g_dense)
+    new_cache = cache_weight - sparse_lr * g_cache
+    return new_dense, new_cache, loss
+
+
+@partial(jax.jit, static_argnames=("mode", "compute_dtype_name", "use_pallas"))
+def _eval_step(
+    dense_params: DLRMParams,
+    cache_weight: jnp.ndarray,
+    dense_features: jnp.ndarray,
+    slot_features: RaggedFeatures,
+    mode: str = "sum",
+    compute_dtype_name: str = "float32",
+    use_pallas: bool = False,
+):
+    compute_dtype = jnp.dtype(compute_dtype_name)
+    sparse_bfd = embedding_bag(cache_weight, slot_features, mode=mode, use_pallas=use_pallas)
+    logits = dlrm_dense_forward(dense_params, dense_features, sparse_bfd, compute_dtype)
+    return jax.nn.sigmoid(logits)
+
+
+class CachedDLRMTrainer:
+    def __init__(self, cfg: DLRMConfig, id_freq_map: Optional[np.ndarray] = None):
+        self.cfg = cfg
+        from cachedembedding_tpu.cache.state import EvictionStrategy
+
+        cache_cfg = cfg.cache
+        self.embed = CachedEmbeddingBag(
+            cfg.total_num_embeddings,
+            cfg.embedding_dim,
+            mode=cfg.reduction_mode,
+            cache_ratio=cache_cfg.cache_ratio,
+            ids_freq_mapping=id_freq_map if cache_cfg.use_freq else None,
+            warmup_ratio=cache_cfg.warmup_ratio,
+            buffer_size=cache_cfg.buffer_size,
+            evict_strategy=(
+                EvictionStrategy.LFU if cache_cfg.use_lfu_eviction else (
+                    EvictionStrategy.DATASET if (cache_cfg.use_freq and id_freq_map is not None)
+                    else EvictionStrategy.LFU
+                )
+            ),
+            table_sizes=cfg.num_embeddings_per_feature,
+            seed=cfg.seed,
+            approx_evict=cache_cfg.approx_evict,
+            use_pallas_lookup=cache_cfg.use_pallas_lookup,
+        )
+        key = jax.random.PRNGKey(cfg.seed)
+        self.dense_params = init_dlrm_dense(
+            key,
+            cfg.embedding_dim,
+            cfg.num_sparse_features,
+            cfg.dense_in_features,
+            cfg.dense_arch_layer_sizes,
+            cfg.over_arch_layer_sizes,
+        )
+        self.data_parallel_size = int(np.prod(cfg.mesh_shape))
+        self._step_idx = 0
+
+    # ------------------------------------------------------------------
+    def _lrs(self, progress: float):
+        cfg = self.cfg
+        lr = cfg.learning_rate
+        if cfg.change_lr and progress >= cfg.lr_change_point:
+            lr = cfg.lr_after
+        sparse_lr = jnp.asarray(lr, jnp.float32)
+        dense_lr = jnp.asarray(lr * self.data_parallel_size, jnp.float32)
+        return sparse_lr, dense_lr
+
+    def _prepare_window(self, batches: List[Batch]) -> List[RaggedFeatures]:
+        """Concatenated prepare_ids over a prefetch window; returns per-batch
+        slot-space features (cache_op=False analog)."""
+        all_ids = np.concatenate(
+            [np.asarray(b.sparse_features.values) for b in batches]
+        ).astype(np.int32)
+        slot_ids = self.embed.prepare_ids(all_ids)
+        out: List[RaggedFeatures] = []
+        off = 0
+        for b in batches:
+            f = b.sparse_features
+            n = f.values.shape[0]
+            out.append(
+                RaggedFeatures(
+                    values=jax.lax.dynamic_slice_in_dim(slot_ids, off, n),
+                    offsets=f.offsets,
+                    num_features=f.num_features,
+                    batch_size=f.batch_size,
+                    pooling=f.pooling,
+                )
+            )
+            off += n
+        return out
+
+    def train(
+        self,
+        data: Iterable[Batch],
+        num_iters: Optional[int] = None,
+        log_every: int = 0,
+    ) -> TrainReport:
+        cfg = self.cfg
+        pn = max(1, cfg.cache.prefetch_num)
+        losses: List[jnp.ndarray] = []
+        it = iter(data)
+        total = num_iters
+        done = 0
+        t0 = time.perf_counter()
+        examples = 0
+        while total is None or done < total:
+            window: List[Batch] = []
+            want = pn if total is None else min(pn, total - done)
+            for _ in range(want):
+                try:
+                    window.append(next(it))
+                except StopIteration:
+                    break
+            if not window:
+                break
+            slot_feats = self._prepare_window(window)
+            for b, sf in zip(window, slot_feats):
+                progress = 0.0 if total is None else done / max(total, 1)
+                sparse_lr, dense_lr = self._lrs(progress)
+                self.dense_params, new_cache, loss = _train_step(
+                    self.dense_params,
+                    self.embed.cache_weight,
+                    jnp.asarray(b.dense_features),
+                    sf,
+                    jnp.asarray(b.labels),
+                    sparse_lr,
+                    dense_lr,
+                    mode=cfg.reduction_mode,
+                    compute_dtype_name=cfg.compute_dtype,
+                    use_pallas=cfg.cache.use_pallas_lookup,
+                )
+                self.embed.set_param(new_cache)
+                losses.append(loss)
+                examples += b.batch_size
+                done += 1
+                self._step_idx += 1
+                if log_every and done % log_every == 0:
+                    print(
+                        f"it {done}: loss={float(loss):.5f} "
+                        f"hit_rate={self.embed.stats.hit_rate(window=pn):.4f}"
+                    )
+        if losses:
+            jax.block_until_ready(losses[-1])
+        dt = time.perf_counter() - t0
+        return TrainReport(
+            losses=[float(l) for l in losses],
+            it_per_s=done / dt if dt > 0 else 0.0,
+            examples_per_s=examples / dt if dt > 0 else 0.0,
+            hit_rate=self.embed.stats.hit_rate(),
+        )
+
+    def evaluate(self, data: Iterable[Batch]) -> dict:
+        cfg = self.cfg
+        metrics = StreamingMetrics()
+        for b in data:
+            # Eval runs with cache maintenance inline (cache_op=True analog,
+            # /root/reference/recsys/models/dlrm.py:216-217).
+            slot_ids = self.embed.prepare_ids(np.asarray(b.sparse_features.values))
+            f = b.sparse_features
+            sf = RaggedFeatures(
+                values=slot_ids,
+                offsets=f.offsets,
+                num_features=f.num_features,
+                batch_size=f.batch_size,
+                pooling=f.pooling,
+            )
+            probs = _eval_step(
+                self.dense_params,
+                self.embed.cache_weight,
+                jnp.asarray(b.dense_features),
+                sf,
+                mode=cfg.reduction_mode,
+                compute_dtype_name=cfg.compute_dtype,
+                use_pallas=cfg.cache.use_pallas_lookup,
+            )
+            metrics.update(np.asarray(probs), np.asarray(b.labels))
+        return metrics.compute()

@@ -1,0 +1,205 @@
+"""Cache-semantics unit + property tests (SURVEY.md §4: hit/miss/evict/writeback,
+warmup determinism, and the master property: cached lookup ≡ dense lookup for any
+id stream)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cachedembedding_tpu.cache.manager import CachedEmbeddingBag
+from cachedembedding_tpu.cache.state import EvictionStrategy, init_cache_state, plan_ids
+from cachedembedding_tpu.jagged import RaggedFeatures
+
+
+def make_bag(N=64, D=8, C=16, strategy=EvictionStrategy.LFU, freq=None, warmup=0.0, **kw):
+    w = np.arange(N * D, dtype=np.float32).reshape(N, D)
+    return CachedEmbeddingBag(
+        N, D,
+        cuda_row_num=C,
+        initial_weight=w,
+        evict_strategy=strategy,
+        ids_freq_mapping=freq,
+        warmup_ratio=warmup,
+        buffer_size=0,
+        **kw,
+    )
+
+
+def lookup_rows(bag, ids):
+    slots = bag.prepare_ids(np.asarray(ids, np.int32))
+    return np.asarray(bag.cache_weight)[np.asarray(slots)]
+
+
+class TestPrepareIds:
+    def test_miss_then_hit(self):
+        bag = make_bag()
+        ids = np.array([3, 7, 3], np.int32)
+        out = lookup_rows(bag, ids)
+        np.testing.assert_allclose(out, bag.host_weight[ids])
+        assert bag.stats.num_miss_history == [2]
+        assert bag.stats.num_hits_history == [0]
+        # second call: all hits
+        out = lookup_rows(bag, ids)
+        np.testing.assert_allclose(out, bag.host_weight[ids])
+        assert bag.stats.num_miss_history == [2, 0]
+        assert bag.stats.num_hits_history == [0, 2]
+
+    def test_eviction_when_full(self):
+        bag = make_bag(N=64, C=4)
+        lookup_rows(bag, [0, 1, 2, 3])         # fill
+        out = lookup_rows(bag, [10, 11])       # evict two
+        np.testing.assert_allclose(out, bag.host_weight[[10, 11]])
+        s2r = set(np.asarray(bag.state.slot_to_row).tolist())
+        assert {10, 11} <= s2r
+        assert len(s2r) == 4
+
+    def test_lfu_evicts_least_frequent(self):
+        bag = make_bag(N=64, C=4, strategy=EvictionStrategy.LFU)
+        lookup_rows(bag, [0, 0, 0, 1, 1, 2, 2, 3])  # freqs: 0->3, 1->2, 2->2, 3->1
+        lookup_rows(bag, [9])                        # must evict row 3 (freq 1)
+        resident = set(np.asarray(bag.state.slot_to_row).tolist())
+        assert 3 not in resident
+        assert {0, 1, 2, 9} == resident
+
+    def test_dataset_evicts_lowest_dataset_freq(self):
+        freq = np.zeros(64, np.int64)
+        freq[[0, 1, 2, 3]] = [100, 50, 10, 1]
+        freq[9] = 5
+        bag = make_bag(N=64, C=4, strategy=EvictionStrategy.DATASET, freq=freq)
+        lookup_rows(bag, [0, 1, 2, 3])
+        lookup_rows(bag, [9])  # evicts row 3 (dataset freq 1 < others)
+        resident = set(np.asarray(bag.state.slot_to_row).tolist())
+        assert resident == {0, 1, 2, 9}
+
+    def test_protected_rows_not_evicted(self):
+        bag = make_bag(N=64, C=4)
+        lookup_rows(bag, [0, 1, 2, 3])
+        # all four needed again plus... capacity exactly covers the working set
+        out = lookup_rows(bag, [0, 1, 2, 3])
+        np.testing.assert_allclose(out, bag.host_weight[[0, 1, 2, 3]])
+
+    def test_capacity_exhaustion_raises(self):
+        bag = make_bag(N=64, C=4)
+        with pytest.raises(RuntimeError, match="capacity"):
+            bag.prepare_ids(np.arange(5, dtype=np.int32))
+
+    def test_writeback_on_eviction(self):
+        bag = make_bag(N=64, C=4, D=8)
+        slots = bag.prepare_ids(np.array([5], np.int32))
+        # mutate the cached row on device (simulating a grad step)
+        cw = np.asarray(bag.cache_weight).copy()
+        cw[int(np.asarray(slots)[0])] = 42.0
+        bag.set_param(jnp.asarray(cw))
+        # force eviction of row 5 by filling with 4 hotter rows
+        lookup_rows(bag, [1, 1, 2, 2, 3, 3, 4, 4])
+        assert 5 not in set(np.asarray(bag.state.slot_to_row).tolist())
+        np.testing.assert_allclose(bag.host_weight[5], 42.0)
+
+    def test_flush_writes_all_resident(self):
+        bag = make_bag(N=64, C=4)
+        slots = bag.prepare_ids(np.array([7, 8], np.int32))
+        cw = np.asarray(bag.cache_weight).copy()
+        sl = np.asarray(slots)
+        cw[sl[0]] = 1.5
+        cw[sl[1]] = 2.5
+        bag.set_param(jnp.asarray(cw))
+        bag.flush()
+        np.testing.assert_allclose(bag.host_weight[7], 1.5)
+        np.testing.assert_allclose(bag.host_weight[8], 2.5)
+
+
+class TestWarmup:
+    def test_warmup_preloads_hottest(self):
+        freq = np.zeros(64, np.int64)
+        freq[[10, 20, 30, 40]] = [9, 8, 7, 6]
+        bag = make_bag(N=64, C=4, strategy=EvictionStrategy.DATASET, freq=freq, warmup=1.0)
+        resident = set(np.asarray(bag.state.slot_to_row).tolist())
+        assert resident == {10, 20, 30, 40}
+        # hits on warm rows, no swaps
+        out = lookup_rows(bag, [10, 20])
+        np.testing.assert_allclose(out, bag.host_weight[[10, 20]])
+        assert bag.stats.num_miss_history[-1] == 0
+
+    def test_warmup_ratio_partial(self):
+        freq = np.arange(64, dtype=np.int64)
+        bag = make_bag(N=64, C=8, strategy=EvictionStrategy.DATASET, freq=freq, warmup=0.5)
+        resident = [r for r in np.asarray(bag.state.slot_to_row).tolist() if r >= 0]
+        assert len(resident) == 4
+        assert set(resident) == {60, 61, 62, 63}
+
+
+class TestProperty:
+    """Master property: cached lookup == host-table lookup for arbitrary skewed id
+    streams under eviction pressure, including interleaved updates."""
+
+    @pytest.mark.parametrize("strategy", [EvictionStrategy.LFU, EvictionStrategy.DATASET])
+    def test_lookup_equivalence_under_pressure(self, strategy):
+        rng = np.random.default_rng(42)
+        N, D, C = 500, 4, 32
+        freq = rng.integers(0, 100, N).astype(np.int64)
+        bag = make_bag(N=N, D=D, C=C, strategy=strategy, freq=freq, warmup=0.5)
+        host_copy = bag.host_weight.copy()
+        for step in range(20):
+            L = int(rng.integers(1, C))
+            ids = (rng.zipf(1.5, size=L) % N).astype(np.int32)
+            out = lookup_rows(bag, ids)
+            np.testing.assert_allclose(out, host_copy[ids], err_msg=f"step {step}")
+
+    def test_updates_survive_eviction_roundtrip(self):
+        rng = np.random.default_rng(7)
+        N, D, C = 200, 4, 16
+        bag = make_bag(N=N, D=D, C=C)
+        # mirror of what the "true" table should be
+        mirror = bag.host_weight.copy()
+        for step in range(30):
+            L = int(rng.integers(1, C // 2))
+            ids = rng.integers(0, N, L).astype(np.int32)
+            slots = np.asarray(bag.prepare_ids(ids))
+            # check lookup
+            np.testing.assert_allclose(
+                np.asarray(bag.cache_weight)[slots], mirror[ids], err_msg=f"step {step}"
+            )
+            # fake sgd: add step+1 to each distinct touched row once
+            uniq_ids, first_pos = np.unique(ids, return_index=True)
+            cw = np.asarray(bag.cache_weight).copy()
+            cw[slots[first_pos]] += step + 1.0
+            mirror[uniq_ids] += step + 1.0
+            bag.set_param(jnp.asarray(cw))
+        bag.flush()
+        np.testing.assert_allclose(bag.host_weight, mirror)
+
+
+class TestForwardAPI:
+    def test_forward_pooling_matches_dense(self):
+        N, D = 100, 8
+        bag = make_bag(N=N, D=D, C=32)
+        B, F = 4, 3
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, N, (B, F)).astype(np.int32)
+        # feature-major flat values with implicit P=1 offsets
+        vals = ids.T.reshape(-1)
+        out = bag.forward(vals, num_features=F, batch_size=B)
+        assert out.shape == (B, F, D)
+        np.testing.assert_allclose(np.asarray(out), bag.host_weight[ids])
+
+    def test_forward_ragged_offsets_sum(self):
+        N, D = 50, 4
+        bag = make_bag(N=N, D=D, C=32)
+        values = np.array([1, 2, 3, 4, 5], np.int32)
+        offsets = np.array([0, 2, 2, 5], np.int32)  # bags: {1,2}, {}, {3,4,5}
+        out = bag.forward(values, offsets, num_features=1, batch_size=3)
+        expect = np.stack([
+            bag.host_weight[1] + bag.host_weight[2],
+            np.zeros(D, np.float32),
+            bag.host_weight[3] + bag.host_weight[4] + bag.host_weight[5],
+        ])[None].transpose(1, 0, 2).reshape(3, 1, D)
+        np.testing.assert_allclose(np.asarray(out), expect)
+
+    def test_set_cache_op_false_uses_slot_ids(self):
+        bag = make_bag(N=100, D=8, C=32)
+        ids = np.array([11, 12, 13], np.int32)
+        slots = bag.prepare_ids(ids)
+        bag.set_cache_op(False)
+        out = bag.forward(np.asarray(slots), num_features=3, batch_size=1)
+        np.testing.assert_allclose(np.asarray(out).reshape(3, 8), bag.host_weight[ids])

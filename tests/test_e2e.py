@@ -1,0 +1,75 @@
+"""End-to-end: tiny cached DLRM learns on synthetic long-tail data (the reference's
+metric-based validation strategy, SURVEY.md §4)."""
+
+import numpy as np
+
+from cachedembedding_tpu.config import CacheConfig, DLRMConfig
+from cachedembedding_tpu.data.synthetic import SyntheticLongTailDataset
+from cachedembedding_tpu.train.trainer import CachedDLRMTrainer
+
+
+def _cfg(tables, **cache_kw):
+    return DLRMConfig(
+        num_embeddings_per_feature=tables,
+        embedding_dim=16,
+        dense_in_features=4,
+        dense_arch_layer_sizes=(32, 16),
+        over_arch_layer_sizes=(32, 16, 1),
+        batch_size=256,
+        learning_rate=0.5,
+        cache=CacheConfig(
+            cache_ratio=0.3, warmup_ratio=0.7, buffer_size=0, **cache_kw
+        ),
+    )
+
+
+def test_training_lifts_auroc():
+    tables = [1000, 2000, 500, 300]
+    cfg = _cfg(tables, prefetch_num=2)
+    cfg.learning_rate = 0.3
+    data = SyntheticLongTailDataset(
+        tables, cfg.batch_size, num_batches=30, dense_in_features=4, seed=3
+    )
+    eval_data = SyntheticLongTailDataset(
+        tables, cfg.batch_size, num_batches=5, dense_in_features=4, seed=99
+    )
+    trainer = CachedDLRMTrainer(cfg, id_freq_map=data.id_freq_map())
+    untrained = trainer.evaluate(eval_data)["auroc"]
+    report = trainer.train(data, num_iters=30)
+    assert len(report.losses) == 30
+    assert np.isfinite(report.losses).all()
+    assert report.hit_rate > 0.5  # long-tail + warmup must give decent hit rate
+
+    metrics = trainer.evaluate(eval_data)
+    assert metrics["count"] == 5 * cfg.batch_size
+    assert metrics["auroc"] > max(untrained + 0.03, 0.55), (untrained, metrics)
+
+
+def test_prefetch_equivalence():
+    """prefetch_num>1 must produce numerically identical training to prefetch_num=1
+    (far-sighted prefetch only moves cache maintenance, not semantics)."""
+    tables = [500, 400]
+    runs = []
+    for pn in (1, 3):
+        cfg = _cfg(tables, prefetch_num=pn, use_lfu_eviction=True, use_freq=False)
+        cfg.cache.cache_ratio = 0.9  # window working set must fit for exact equivalence
+        data = SyntheticLongTailDataset(
+            tables, cfg.batch_size, num_batches=9, dense_in_features=4, seed=5
+        )
+        trainer = CachedDLRMTrainer(cfg)
+        report = trainer.train(data, num_iters=9)
+        runs.append(report.losses)
+    np.testing.assert_allclose(runs[0], runs[1], rtol=1e-5)
+
+
+def test_lfu_vs_dataset_both_train():
+    tables = [800, 800]
+    for kw in (dict(use_lfu_eviction=True, use_freq=False), dict(use_lfu_eviction=False)):
+        cfg = _cfg(tables, **kw)
+        data = SyntheticLongTailDataset(
+            tables, cfg.batch_size, num_batches=6, dense_in_features=4, seed=11
+        )
+        freq = data.id_freq_map() if not kw.get("use_lfu_eviction") else None
+        trainer = CachedDLRMTrainer(cfg, id_freq_map=freq)
+        report = trainer.train(data, num_iters=6)
+        assert np.isfinite(report.losses).all()
