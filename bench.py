@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Headline benchmark: cached-embedding DLRM training throughput at
+Criteo-Kaggle scale (33.76M-row fused table, dim 128, batch 16384, 1% cache).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "examples/s", "vs_baseline": R}
+
+vs_baseline compares against the reference's Criteo-Kaggle CachedEmbedding run:
+50 it/s at batch 16384 on 1x A100 80GB (=819,200 examples/s; BASELINE.md,
+/root/reference/README.md:78). Details go to stderr; stdout stays one line.
+
+Usage: python bench.py [--scale kaggle|small] [--iters N] [--prefetch N] ...
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_EXAMPLES_PER_S = 50 * 16384  # reference Criteo-Kaggle cached path
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--scale", choices=["kaggle", "small"], default="kaggle")
+    p.add_argument("--iters", type=int, default=48)
+    p.add_argument("--warmup-iters", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=16384)
+    p.add_argument("--prefetch", type=int, default=4)
+    p.add_argument("--cache-ratio", type=float, default=0.01)
+    p.add_argument("--skew", type=float, default=0.25)
+    p.add_argument("--pallas", action="store_true", default=None)
+    args = p.parse_args()
+
+    import jax
+
+    log(f"devices: {jax.devices()}")
+
+    from cachedembedding_tpu.config import (
+        CRITEO_KAGGLE_NUM_EMBEDDINGS_PER_FEATURE,
+        CacheConfig,
+        DLRMConfig,
+    )
+    from cachedembedding_tpu.data.synthetic import SyntheticLongTailDataset
+    from cachedembedding_tpu.train.trainer import CachedDLRMTrainer
+
+    if args.scale == "kaggle":
+        tables = CRITEO_KAGGLE_NUM_EMBEDDINGS_PER_FEATURE
+        dense_in = 13
+        cache_ratio = args.cache_ratio
+    else:
+        tables = [100_000, 50_000, 20_000, 10_000] * 4
+        dense_in = 13
+        cache_ratio = max(args.cache_ratio, 0.05)
+
+    cfg = DLRMConfig(
+        num_embeddings_per_feature=tables,
+        embedding_dim=128,
+        dense_in_features=dense_in,
+        batch_size=args.batch_size,
+        learning_rate=1.0,
+        cache=CacheConfig(
+            cache_ratio=cache_ratio,
+            warmup_ratio=0.7,
+            prefetch_num=args.prefetch,
+            buffer_size=0,
+            use_lfu_eviction=False,
+            use_pallas_lookup=bool(args.pallas),
+            # Virtual (procedural + overlay) host table: host cost = touched
+            # working set. This sandbox's page faults run at ~0.03-0.15 GB/s,
+            # which would otherwise dominate the timing with artifacts that no
+            # real TPU-VM host exhibits; the overlay still does real host work
+            # (hash probe + row materialization) per swapped row.
+            weight_init="virtual",
+            transfer_dtype="bfloat16",
+        ),
+    )
+    total_iters = args.warmup_iters + args.iters
+    data = SyntheticLongTailDataset(
+        tables,
+        cfg.batch_size,
+        num_batches=total_iters,
+        dense_in_features=dense_in,
+        skew=args.skew,
+        seed=7,
+        learnable_labels=False,
+    )
+    t0 = time.time()
+    log(f"building trainer (host table {sum(tables) * 128 * 4 / 1e9:.1f} GB)...")
+    trainer = CachedDLRMTrainer(cfg, id_freq_map=data.id_freq_map())
+    log(f"trainer+warmup ready in {time.time() - t0:.1f}s")
+
+    log("pre-generating batches...")
+    batches = [data.make_batch(i) for i in range(total_iters)]
+
+    log(f"warmup {args.warmup_iters} iters (compile)...")
+    trainer.train(batches[: args.warmup_iters], num_iters=args.warmup_iters)
+
+    log(f"timing {args.iters} iters...")
+    report = trainer.train(batches[args.warmup_iters :], num_iters=args.iters)
+    log(
+        f"steady: {report.it_per_s:.2f} it/s, {report.examples_per_s:.0f} ex/s, "
+        f"hit_rate={report.hit_rate:.4f}"
+    )
+    log(trainer.embed.stats.summary())
+
+    print(
+        json.dumps(
+            {
+                "metric": f"dlrm_{args.scale}_cached_train_throughput",
+                "value": round(report.examples_per_s, 1),
+                "unit": "examples/s",
+                "vs_baseline": round(report.examples_per_s / BASELINE_EXAMPLES_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,22 @@ _LIB = None
 _LIB_TRIED = False
 
 
+def tune_malloc(threshold: int = 1 << 30) -> bool:
+    """Raise glibc's mmap threshold so multi-MB transient buffers (gather
+    staging, device->host readbacks) are served from the reusable heap arena
+    instead of fresh mmaps. Fresh mmaps re-fault every page on every allocation,
+    which on TPU-VM hosts runs at ~0.1 GB/s — this single knob removes that tax
+    for the whole process. M_MMAP_THRESHOLD == -3 in glibc's mallopt."""
+    try:
+        libc = ctypes.CDLL(None)
+        return bool(libc.mallopt(-3, ctypes.c_int(threshold)))
+    except Exception:
+        return False
+
+
+_MALLOC_TUNED = tune_malloc()
+
+
 def _load_lib():
     global _LIB, _LIB_TRIED
     if _LIB_TRIED:
@@ -44,6 +60,9 @@ def _load_lib():
         lib.bincount_i32.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.alloc_hugepage.argtypes = [ctypes.c_uint64]
+        lib.alloc_hugepage.restype = ctypes.c_void_p
+        lib.free_hugepage.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -52,6 +71,23 @@ def _load_lib():
 
 def native_available() -> bool:
     return _load_lib() is not None
+
+
+def alloc_table(rows: int, dim: int, dtype=np.float32) -> np.ndarray:
+    """Allocate an uninitialized (rows, dim) host table backed by THP huge pages
+    when the native lib is available — first-touch page faults on 4 KB pages run
+    at ~0.15 GB/s on TPU-VM hosts, which would add minutes per 10 GB of table."""
+    lib = _load_lib()
+    nbytes = rows * dim * np.dtype(dtype).itemsize
+    if lib is not None:
+        ptr = lib.alloc_hugepage(ctypes.c_uint64(nbytes))
+        if ptr:
+            buf = (ctypes.c_byte * nbytes).from_address(ptr)
+            arr = np.frombuffer(buf, dtype=dtype).reshape(rows, dim)
+            # keep the mapping alive with the array; freed at process exit
+            arr.flags.writeable = True
+            return arr
+    return np.empty((rows, dim), dtype=dtype)
 
 
 def gather_rows(table: np.ndarray, idx: np.ndarray, out: np.ndarray | None = None) -> np.ndarray:

@@ -1,0 +1,126 @@
+"""Host-DRAM master tables behind the cache.
+
+Two implementations of one protocol (gather/scatter/num_rows/dim):
+
+  * ``DenseHostTable`` — a materialized numpy array (hugepage-backed via the
+    native allocator). The default for real datasets; what the reference does
+    with its pinned CPU weight (/root/reference/benchmark/benchmark_fbgemm_uvm.py:104).
+  * ``VirtualHostTable`` — rows are generated procedurally (deterministic per-row
+    RNG, per-table uniform bounds) until first written back, after which they live
+    in a native hash-table overlay. Host memory = touched working set only, so a
+    logical 91 GB Criteo-1TB table (README.md:11) runs on any TPU-VM — used by
+    benchmarks and capacity tests.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Optional, Sequence
+
+import numpy as np
+
+from cachedembedding_tpu._native import hostops
+
+
+class DenseHostTable:
+    def __init__(self, array: np.ndarray):
+        assert array.ndim == 2
+        self.array = array
+
+    @property
+    def num_rows(self) -> int:
+        return self.array.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.array.shape[1]
+
+    def gather(self, idx: np.ndarray, out: Optional[np.ndarray] = None) -> np.ndarray:
+        return hostops.gather_rows(self.array, idx, out)
+
+    def scatter(self, idx: np.ndarray, vals: np.ndarray) -> None:
+        hostops.scatter_rows(self.array, idx, vals)
+
+
+class VirtualHostTable:
+    def __init__(
+        self,
+        table_sizes: Sequence[int],
+        dim: int,
+        seed: int = 0,
+        capacity_hint: int = 1 << 20,
+    ):
+        self.table_sizes = np.asarray(table_sizes, np.int64)
+        self.table_offsets = np.concatenate([[0], np.cumsum(self.table_sizes)])
+        self._num_rows = int(self.table_sizes.sum())
+        self._dim = int(dim)
+        self.seed = seed
+        # per-table U(-1/sqrt(n), 1/sqrt(n)) init bound (torchrec default)
+        self._bounds = (self.table_sizes.astype(np.float64) ** -0.5).astype(np.float32)
+        lib = hostops._load_lib()
+        if lib is None:
+            raise RuntimeError(
+                "VirtualHostTable requires the native hostops library; "
+                "build with: make -C cachedembedding_tpu/_native"
+            )
+        self._lib = lib
+        self._ensure_proto()
+        self._h = lib.overlay_create(dim, seed, capacity_hint)
+
+    @classmethod
+    def _ensure_proto(cls):
+        lib = hostops._load_lib()
+        if getattr(lib, "_overlay_proto_done", False):
+            return
+        lib.overlay_create.argtypes = [ctypes.c_int64, ctypes.c_uint64, ctypes.c_int64]
+        lib.overlay_create.restype = ctypes.c_void_p
+        lib.overlay_free.argtypes = [ctypes.c_void_p]
+        lib.overlay_used.argtypes = [ctypes.c_void_p]
+        lib.overlay_used.restype = ctypes.c_int64
+        lib.overlay_gather_f32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.overlay_scatter_f32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib._overlay_proto_done = True
+
+    @property
+    def num_rows(self) -> int:
+        return self._num_rows
+
+    @property
+    def dim(self) -> int:
+        return self._dim
+
+    @property
+    def overlay_rows(self) -> int:
+        return int(self._lib.overlay_used(self._h))
+
+    def _row_bounds(self, idx: np.ndarray) -> np.ndarray:
+        table = np.searchsorted(self.table_offsets, idx, side="right") - 1
+        return self._bounds[np.clip(table, 0, len(self._bounds) - 1)]
+
+    def gather(self, idx: np.ndarray, out: Optional[np.ndarray] = None) -> np.ndarray:
+        idx = np.ascontiguousarray(idx, np.int64)
+        if out is None:
+            out = np.empty((idx.shape[0], self._dim), np.float32)
+        bounds = np.ascontiguousarray(self._row_bounds(idx), np.float32)
+        self._lib.overlay_gather_f32(
+            self._h, idx.ctypes.data, bounds.ctypes.data, out.ctypes.data, idx.shape[0]
+        )
+        return out
+
+    def scatter(self, idx: np.ndarray, vals: np.ndarray) -> None:
+        idx = np.ascontiguousarray(idx, np.int64)
+        vals = np.ascontiguousarray(vals, np.float32)
+        self._lib.overlay_scatter_f32(
+            self._h, idx.ctypes.data, vals.ctypes.data, idx.shape[0]
+        )
+
+    def __del__(self):
+        try:
+            self._lib.overlay_free(self._h)
+        except Exception:
+            pass

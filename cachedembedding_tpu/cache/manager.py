@@ -19,17 +19,17 @@ Split of responsibilities:
 
 from __future__ import annotations
 
-import queue
-import threading
 import time
 from dataclasses import dataclass, field
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from cachedembedding_tpu._native import hostops
+import ml_dtypes
+
 from cachedembedding_tpu.cache.state import (
     CacheState,
     EvictionStrategy,
@@ -39,7 +39,9 @@ from cachedembedding_tpu.cache.state import (
     plan_ids,
     remap_ids,
     scatter_admits,
+    slice_plan_indices,
 )
+from cachedembedding_tpu.cache.host_table import DenseHostTable, VirtualHostTable
 from cachedembedding_tpu.jagged import RaggedFeatures
 from cachedembedding_tpu.ops.embedding_bag import embedding_bag
 
@@ -77,8 +79,18 @@ class CacheStats:
         )
 
 
-def _bucket(n: int, lo: int = 1024) -> int:
-    """Round a transfer size up to a power-of-two bucket to bound recompiles."""
+class PreparedWindow(NamedTuple):
+    """A dispatched-but-not-staged cache window (begin_prepare output)."""
+
+    slot_ids: "jnp.ndarray"
+    plan: Plan
+    budget: int
+
+
+def _bucket(n: int, lo: int = 2048) -> int:
+    """Round a transfer size up to a power-of-two bucket: distinct shapes cost a
+    (remote) XLA compile each, but padding costs real transfer bytes on a link
+    measured at only ~60 MB/s — pow2 caps padding waste at 2x."""
     b = lo
     while b < n:
         b <<= 1
@@ -130,8 +142,15 @@ class CachedEmbeddingBag:
         seed: int = 1024,
         unique_budget: Optional[int] = None,
         initial_weight: Optional[np.ndarray] = None,
+        weight_init: str = "uniform",  # "uniform" | "zeros" (lazy pages; for
+        # tables about to be loaded from a checkpoint) | "virtual" (procedural
+        # VirtualHostTable: host memory = touched working set only)
+        host_table=None,  # explicit HostTable instance (overrides weight_init)
         approx_evict: bool = False,
         use_pallas_lookup: bool = False,
+        transfer_dtype: str = "float32",  # "bfloat16" halves host<->HBM row
+        # payloads (cache + host master stay float32; rows are rounded once on
+        # admission and once on writeback)
         device: Optional[jax.Device] = None,
     ):
         self.num_embeddings = int(num_embeddings)
@@ -151,14 +170,27 @@ class CachedEmbeddingBag:
         self.device = device
 
         # --- host-DRAM master weight ---
-        if initial_weight is not None:
+        if host_table is not None:
+            assert host_table.num_rows == self.num_embeddings
+            assert host_table.dim == self.embedding_dim
+            self.host_table = host_table
+        elif initial_weight is not None:
             assert initial_weight.shape == (self.num_embeddings, self.embedding_dim)
-            self.host_weight = np.ascontiguousarray(initial_weight, dtype=np.float32)
-        else:
-            self.host_weight = np.empty(
-                (self.num_embeddings, self.embedding_dim), dtype=np.float32
+            self.host_table = DenseHostTable(
+                np.ascontiguousarray(initial_weight, dtype=np.float32)
             )
-            default_table_init(self.table_sizes, self.embedding_dim, seed)(self.host_weight)
+        elif weight_init == "virtual":
+            self.host_table = VirtualHostTable(
+                self.table_sizes, self.embedding_dim, seed=seed,
+                capacity_hint=max(4 * self.capacity, 1 << 16),
+            )
+        else:
+            arr = hostops.alloc_table(self.num_embeddings, self.embedding_dim)
+            if weight_init == "uniform":
+                default_table_init(self.table_sizes, self.embedding_dim, seed)(arr)
+            elif weight_init != "zeros":
+                raise ValueError(f"unknown weight_init {weight_init!r}")
+            self.host_table = DenseHostTable(arr)
 
         # --- device cache ---
         self.state = init_cache_state(self.num_embeddings, self.capacity)
@@ -179,8 +211,11 @@ class CachedEmbeddingBag:
         self.stats = CacheStats()
         self.cache_op = True
         self._async = False
-        self._async_thread: Optional[threading.Thread] = None
-        self._async_q: "queue.Queue" = queue.Queue(maxsize=2)
+        self._pending_wb: list = []  # deferred eviction writebacks
+        self._stage: dict = {}  # bucket -> (idx i64, slots i32, vals f32) reused buffers
+        if transfer_dtype not in ("float32", "bfloat16"):
+            raise ValueError(transfer_dtype)
+        self._transfer_bf16 = transfer_dtype == "bfloat16"
 
         if self._host_freq is not None and warmup_ratio > 0:
             self._warmup(warmup_ratio)
@@ -242,7 +277,7 @@ class CachedEmbeddingBag:
             slot_freq=jnp.asarray(sfreq),
         )
         t0 = time.perf_counter()
-        rows = hostops.gather_rows(self.host_weight, top)
+        rows = self.host_table.gather(top)
         cw = np.zeros((self.capacity, self.embedding_dim), np.float32)
         cw[:k] = rows
         self.cache_weight = jnp.asarray(cw, dtype=self.dtype)
@@ -253,6 +288,17 @@ class CachedEmbeddingBag:
     def prepare_ids(self, ids) -> jnp.ndarray:
         """Make every id resident and return ids remapped to cache-slot space
         (/root/reference/recsys/dlrm_main.py:259). Accepts numpy or jnp int ids."""
+        pw = self.begin_prepare(ids)
+        self.finish_prepare(pw)
+        return pw.slot_ids
+
+    def begin_prepare(self, ids) -> "PreparedWindow":
+        """Dispatch the (device-only) cache plan + id remap for a window WITHOUT
+        doing any row movement. The pipelined trainer calls this BEFORE enqueueing
+        the previous window's train steps, so by the time finish_prepare reads the
+        plan back, the device has computed it — host staging then overlaps the
+        train compute (the TPU re-design of --use_overlap + async cache copy,
+        /root/reference/recsys/dlrm_main.py:121,354)."""
         ids_dev = jnp.asarray(ids, dtype=jnp.int32)
         L = int(ids_dev.shape[0])
         budget = self.unique_budget or L
@@ -265,15 +311,21 @@ class CachedEmbeddingBag:
             approx_evict=self.approx_evict,
         )
         self.state = new_state
-        self._execute_plan(plan, budget)
-        return remap_ids(self.state, ids_dev)
+        slot_ids = remap_ids(self.state, ids_dev)
+        return PreparedWindow(slot_ids=slot_ids, plan=plan, budget=budget)
 
-    def _execute_plan(self, plan: Plan, budget: int) -> None:
-        """Move rows host<->HBM per the plan. Reads the (small) plan index arrays
-        back to host; the row payloads move in buffer_size-bounded chunks
-        (/root/reference/recsys/dlrm_main.py:134-135 semantics)."""
-        n_miss = int(plan.n_miss)
-        n_unique = int(plan.n_unique)
+    def finish_prepare(self, pw: "PreparedWindow") -> None:
+        """Execute the row movement for a prepared window. Device-order contract
+        (enqueue order): [prev window's train steps] -> writeback gather ->
+        scatter admits -> [this window's train steps]. Host work here overlaps
+        the previous window's compute; evicted-row values are read back lazily on
+        the NEXT finish_prepare/flush (deferred writeback), by which point the
+        device has long finished them."""
+        plan, budget = pw.plan, pw.budget
+        # ONE scalar readback for all counts/flags (round-trips are ~0.1s on the
+        # tunneled link — the packed Plan exists to keep this to 2 transfers).
+        scal = np.asarray(plan.scalars)
+        n_miss, n_unique, cap_ok = int(scal[0]), int(scal[1]), bool(scal[2])
         U = min(budget, self.capacity)
         if n_unique > U:
             raise RuntimeError(
@@ -281,58 +333,90 @@ class CachedEmbeddingBag:
                 f"(capacity {self.capacity}). Reduce prefetch_num/batch or raise "
                 f"cache_ratio/unique_budget."
             )
-        if not bool(plan.capacity_ok):
+        if not cap_ok:
             raise RuntimeError(
                 f"cache capacity exhausted: working set of this prepare_ids call "
                 f"needs more than {self.capacity} slots."
             )
         self.stats.prepare_calls += 1
-        self.stats.num_hits_history.append(int(plan.n_hit_unique))
+        self.stats.num_hits_history.append(int(scal[3]))
         self.stats.num_miss_history.append(n_miss)
+
+        # Evicted rows from earlier windows must reach the host table before we
+        # gather any admit rows (a row evicted in window k can be re-admitted in
+        # window k+1 and must come back with its trained value).
+        self._drain_writebacks()
+
         if n_miss == 0:
             self.stats.num_write_back_history.append(0)
             return
 
-        admit_rows = np.asarray(plan.admit_rows[:_bucket(n_miss)])[:n_miss]
-        admit_slots_np = np.asarray(plan.admit_slots[:_bucket(n_miss)])[:n_miss]
-        evict_rows = np.asarray(plan.evict_rows[:_bucket(n_miss)])[:n_miss]
+        # ONE bucketed readback of the packed index block.
+        nb = _bucket(n_miss)
+        idx_block = np.asarray(slice_plan_indices(plan.indices, nb))
+        admit_rows = idx_block[0, :n_miss]
+        admit_slots_np = idx_block[1, :n_miss]
+        evict_rows = idx_block[2, :n_miss]
 
-        row_bytes = self.embedding_dim * 4
         chunk = self.buffer_size if self.buffer_size > 0 else n_miss
         n_wb = 0
         for s in range(0, n_miss, chunk):
             e = min(s + chunk, n_miss)
             b = _bucket(e - s)
-            # ---- write back evicted rows (HBM -> host) ----
+            rows_c, slots_c, vals = self._stage_bufs(b)
+            slots_c.fill(-1)
+            slots_c[: e - s] = admit_slots_np[s:e]
+            slots_dev = jnp.array(slots_c)  # copy: slots_c is a reused buffer
+            # ---- enqueue writeback read of evicted rows (HBM->host, deferred) ----
             ev_rows_c = evict_rows[s:e]
             wb_mask = ev_rows_c >= 0
             if wb_mask.any():
-                t0 = time.perf_counter()
-                slots_c = np.full((b,), -1, np.int32)
-                slots_c[: e - s] = admit_slots_np[s:e]
-                vals = np.asarray(gather_slots(self.cache_weight, jnp.asarray(slots_c)))
-                hostops.scatter_rows(
-                    self.host_weight, ev_rows_c[wb_mask], vals[: e - s][wb_mask]
+                vals_dev = gather_slots(
+                    self.cache_weight, slots_dev,
+                    out_dtype="bfloat16" if self._transfer_bf16 else None,
                 )
-                nb = int(wb_mask.sum())
-                n_wb += nb
-                self.stats.swap_out_bytes += nb * row_bytes
-                self.stats.swap_out_time += time.perf_counter() - t0
+                self._pending_wb.append((ev_rows_c[wb_mask], wb_mask, e - s, vals_dev))
+                n_wb += int(wb_mask.sum())
             # ---- admit missing rows (host -> HBM) ----
             t0 = time.perf_counter()
-            rows_c = np.zeros((b,), np.int64)
+            rows_c.fill(0)
             rows_c[: e - s] = admit_rows[s:e]
-            slots_c = np.full((b,), -1, np.int32)
-            slots_c[: e - s] = admit_slots_np[s:e]
-            vals = hostops.gather_rows(self.host_weight, rows_c)
-            self.cache_weight = scatter_admits(
-                self.cache_weight,
-                jnp.asarray(slots_c),
-                jnp.asarray(vals, dtype=self.dtype),
+            self.host_table.gather(rows_c, vals)
+            # jnp.array (copy=True) — the staging buffer is reused next chunk, so
+            # the transfer must not alias it (jnp.asarray zero-copies on CPU and
+            # device_put's DMA may read the host buffer after return).
+            payload = (
+                vals.astype(ml_dtypes.bfloat16) if self._transfer_bf16 else vals
             )
-            self.stats.swap_in_bytes += (e - s) * row_bytes
+            self.cache_weight = scatter_admits(
+                self.cache_weight, slots_dev, jnp.array(payload)
+            )
+            self.stats.swap_in_bytes += (e - s) * self.embedding_dim * 4
             self.stats.swap_in_time += time.perf_counter() - t0
         self.stats.num_write_back_history.append(n_wb)
+
+    def _stage_bufs(self, b: int):
+        """Persistent per-bucket staging buffers — transient multi-MB allocations
+        re-fault pages on every call on TPU-VM hosts."""
+        if b not in self._stage:
+            idx = np.zeros((b,), np.int64)
+            slots = np.full((b,), -1, np.int32)
+            vals = np.zeros((b, self.embedding_dim), np.float32)
+            self._stage[b] = (idx, slots, vals)
+        return self._stage[b]
+
+    def _drain_writebacks(self) -> None:
+        if not self._pending_wb:
+            return
+        t0 = time.perf_counter()
+        for ev_rows, wb_mask, n, vals_dev in self._pending_wb:
+            vals = np.asarray(vals_dev)  # blocks until the enqueued gather ran
+            if vals.dtype != np.float32:
+                vals = vals.astype(np.float32)
+            self.host_table.scatter(ev_rows, vals[:n][wb_mask])
+            self.stats.swap_out_bytes += ev_rows.shape[0] * self.embedding_dim * 4
+        self._pending_wb.clear()
+        self.stats.swap_out_time += time.perf_counter() - t0
 
     # -- lookup / forward -----------------------------------------------------
     def lookup(self, features: RaggedFeatures) -> jnp.ndarray:
@@ -383,6 +467,7 @@ class CachedEmbeddingBag:
         """Write every resident (dirty) cached row back to the host table — needed
         before checkpoint/eval snapshots (SURVEY.md §5 notes the reference implies
         this capability)."""
+        self._drain_writebacks()
         s2r = np.asarray(self.state.slot_to_row)
         resident = np.nonzero(s2r >= 0)[0]
         if resident.size == 0:
@@ -395,9 +480,16 @@ class CachedEmbeddingBag:
             slots_c = np.full((b,), -1, np.int32)
             slots_c[: e - s] = resident[s:e]
             vals = np.asarray(gather_slots(self.cache_weight, jnp.asarray(slots_c)))
-            hostops.scatter_rows(self.host_weight, s2r[resident[s:e]], vals[: e - s])
+            self.host_table.scatter(s2r[resident[s:e]], vals[: e - s])
         self.stats.swap_out_bytes += resident.size * self.embedding_dim * 4
         self.stats.swap_out_time += time.perf_counter() - t0
+
+    @property
+    def host_weight(self) -> np.ndarray:
+        """The materialized host array (DenseHostTable only)."""
+        if not isinstance(self.host_table, DenseHostTable):
+            raise AttributeError("host_weight is only available for dense host tables")
+        return self.host_table.array
 
     def dense_weight(self) -> np.ndarray:
         """Full logically-consistent weight (flushes first). For tests/checkpoints."""

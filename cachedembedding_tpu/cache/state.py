@@ -69,29 +69,60 @@ class CacheState(NamedTuple):
 class Plan(NamedTuple):
     """Fixed-capacity admit/evict plan emitted by ``plan_ids``.
 
-    All index arrays have shape (U,) where U = the per-call unique budget; entries
-    past ``n_miss`` are inactive (-1).
+    Packed for cheap host readback (host<->device round-trips are the scarce
+    resource in the staging path — one scalar read + one index-block read per
+    window):
 
-    admit_rows:  global row ids that must be copied host->HBM.
-    admit_slots: destination cache slots (the same slots are the eviction victims).
-    evict_rows:  previous occupant of each admit slot (-1 if the slot was empty) —
-                 these rows must be written back HBM->host before the admit lands.
-    n_miss / n_unique: true counts for host-side slicing and overflow detection.
-    capacity_ok: False iff the plan would have had to evict a slot needed by the
-                 current id set (working set > capacity) — a hard error.
-    n_hit_unique / n_hit_weighted / n_ids: hit statistics for
-                 ``num_hits_history`` parity (/root/reference/recsys/dlrm_main.py:286-290).
+    indices: (3, U) int32 — rows [admit_rows, admit_slots, evict_rows]; lanes
+             past ``n_miss`` are inactive (-1).
+        admit_rows:  global row ids that must be copied host->HBM.
+        admit_slots: destination cache slots (same slots are the evict victims).
+        evict_rows:  previous occupant of each admit slot (-1 if it was empty) —
+                     written back HBM->host before the admit lands.
+    scalars: (6,) int32 — [n_miss, n_unique, capacity_ok, n_hit_unique,
+             n_hit_weighted, n_ids]. capacity_ok==0 means the working set
+             exceeded capacity (hard error). Hit stats give
+             ``num_hits_history`` parity (/root/reference/recsys/dlrm_main.py:286-290).
     """
 
-    admit_rows: jnp.ndarray
-    admit_slots: jnp.ndarray
-    evict_rows: jnp.ndarray
-    n_miss: jnp.ndarray
-    n_unique: jnp.ndarray
-    capacity_ok: jnp.ndarray
-    n_hit_unique: jnp.ndarray
-    n_hit_weighted: jnp.ndarray
-    n_ids: jnp.ndarray
+    indices: jnp.ndarray
+    scalars: jnp.ndarray
+
+    @property
+    def admit_rows(self):
+        return self.indices[0]
+
+    @property
+    def admit_slots(self):
+        return self.indices[1]
+
+    @property
+    def evict_rows(self):
+        return self.indices[2]
+
+    @property
+    def n_miss(self):
+        return self.scalars[0]
+
+    @property
+    def n_unique(self):
+        return self.scalars[1]
+
+    @property
+    def capacity_ok(self):
+        return self.scalars[2]
+
+    @property
+    def n_hit_unique(self):
+        return self.scalars[3]
+
+    @property
+    def n_hit_weighted(self):
+        return self.scalars[4]
+
+    @property
+    def n_ids(self):
+        return self.scalars[5]
 
 
 def init_cache_state(num_rows: int, capacity: int) -> CacheState:
@@ -186,17 +217,25 @@ def plan_ids(
 
     new_state = CacheState(slot_to_row=s2r, row_to_slot=r2s, slot_freq=freq)
     plan = Plan(
-        admit_rows=admit_rows,
-        admit_slots=admit_slots,
-        evict_rows=evict_rows,
-        n_miss=n_miss,
-        n_unique=n_unique,
-        capacity_ok=capacity_ok,
-        n_hit_unique=jnp.sum(is_hit.astype(jnp.int32)),
-        n_hit_weighted=jnp.sum(jnp.where(is_hit, counts, 0)),
-        n_ids=jnp.asarray(ids.shape[0], jnp.int32),
+        indices=jnp.stack([admit_rows, admit_slots, evict_rows]),
+        scalars=jnp.stack(
+            [
+                n_miss,
+                n_unique,
+                capacity_ok.astype(jnp.int32),
+                jnp.sum(is_hit.astype(jnp.int32)),
+                jnp.sum(jnp.where(is_hit, counts, 0)),
+                jnp.asarray(ids.shape[0], jnp.int32),
+            ]
+        ),
     )
     return new_state, plan
+
+
+@partial(jax.jit, static_argnames=("nb",))
+def slice_plan_indices(indices: jnp.ndarray, nb: int) -> jnp.ndarray:
+    """First nb lanes of the packed (3, U) plan — one bucketed readback."""
+    return jax.lax.dynamic_slice(indices, (0, 0), (3, min(nb, indices.shape[1])))
 
 
 @jax.jit
@@ -207,18 +246,25 @@ def remap_ids(state: CacheState, ids: jnp.ndarray) -> jnp.ndarray:
     return state.row_to_slot[ids]
 
 
-@jax.jit
-def gather_slots(cache_weight: jnp.ndarray, slots: jnp.ndarray) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("out_dtype",))
+def gather_slots(
+    cache_weight: jnp.ndarray, slots: jnp.ndarray, out_dtype: Optional[str] = None
+) -> jnp.ndarray:
     """Read rows out of the HBM cache (used for eviction writeback / flush).
     ``slots`` may contain -1 padding; those rows are garbage and must be filtered
-    host-side via the matching evict_rows >= 0 mask."""
-    return cache_weight[jnp.clip(slots, 0, cache_weight.shape[0] - 1)]
+    host-side via the matching evict_rows >= 0 mask. ``out_dtype`` (e.g.
+    "bfloat16") halves the device->host transfer."""
+    rows = cache_weight[jnp.clip(slots, 0, cache_weight.shape[0] - 1)]
+    return rows.astype(out_dtype) if out_dtype else rows
 
 
 @partial(jax.jit, donate_argnames=("cache_weight",))
 def scatter_admits(
     cache_weight: jnp.ndarray, slots: jnp.ndarray, values: jnp.ndarray
 ) -> jnp.ndarray:
-    """Land admitted host rows into their cache slots (donated, in-place on TPU)."""
+    """Land admitted host rows into their cache slots (donated, in-place on TPU).
+    ``values`` may arrive in a narrower transfer dtype (bf16) and is upcast."""
     C = cache_weight.shape[0]
-    return cache_weight.at[jnp.where(slots >= 0, slots, C)].set(values, mode="drop")
+    return cache_weight.at[jnp.where(slots >= 0, slots, C)].set(
+        values.astype(cache_weight.dtype), mode="drop"
+    )

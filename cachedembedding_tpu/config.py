@@ -28,6 +28,8 @@ class CacheConfig:
     pin_weight: bool = True            # pin host weight (numpy is always "pinned" on TPU-VM)
     # TPU-specific knobs (no reference analog):
     approx_evict: bool = False         # use approx_min_k for victim selection
+    weight_init: str = "uniform"       # host table init: "uniform" | "zeros" | "virtual"
+    transfer_dtype: str = "float32"    # host<->HBM row payload dtype ("bfloat16" halves traffic)
     use_pallas_lookup: bool = False    # Pallas gather+pool kernel vs XLA take/segment-sum
 
 

@@ -123,6 +123,8 @@ class CachedDLRMTrainer:
             seed=cfg.seed,
             approx_evict=cache_cfg.approx_evict,
             use_pallas_lookup=cache_cfg.use_pallas_lookup,
+            weight_init=cache_cfg.weight_init,
+            transfer_dtype=cache_cfg.transfer_dtype,
         )
         key = jax.random.PRNGKey(cfg.seed)
         self.dense_params = init_dlrm_dense(
@@ -146,13 +148,13 @@ class CachedDLRMTrainer:
         dense_lr = jnp.asarray(lr * self.data_parallel_size, jnp.float32)
         return sparse_lr, dense_lr
 
-    def _prepare_window(self, batches: List[Batch]) -> List[RaggedFeatures]:
-        """Concatenated prepare_ids over a prefetch window; returns per-batch
-        slot-space features (cache_op=False analog)."""
+    def _begin_window(self, batches: List[Batch]):
+        """Dispatch the cache plan + remap for a window (device only; no row
+        movement yet). Returns (PreparedWindow, per-batch slot features)."""
         all_ids = np.concatenate(
             [np.asarray(b.sparse_features.values) for b in batches]
         ).astype(np.int32)
-        slot_ids = self.embed.prepare_ids(all_ids)
+        pw = self.embed.begin_prepare(all_ids)
         out: List[RaggedFeatures] = []
         off = 0
         for b in batches:
@@ -160,7 +162,7 @@ class CachedDLRMTrainer:
             n = f.values.shape[0]
             out.append(
                 RaggedFeatures(
-                    values=jax.lax.dynamic_slice_in_dim(slot_ids, off, n),
+                    values=jax.lax.dynamic_slice_in_dim(pw.slot_ids, off, n),
                     offsets=f.offsets,
                     num_features=f.num_features,
                     batch_size=f.batch_size,
@@ -168,7 +170,25 @@ class CachedDLRMTrainer:
                 )
             )
             off += n
-        return out
+        return pw, out
+
+    def _dispatch_train(self, b: Batch, sf: RaggedFeatures, progress: float):
+        cfg = self.cfg
+        sparse_lr, dense_lr = self._lrs(progress)
+        self.dense_params, new_cache, loss = _train_step(
+            self.dense_params,
+            self.embed.cache_weight,
+            jnp.asarray(b.dense_features),
+            sf,
+            jnp.asarray(b.labels),
+            sparse_lr,
+            dense_lr,
+            mode=cfg.reduction_mode,
+            compute_dtype_name=cfg.compute_dtype,
+            use_pallas=cfg.cache.use_pallas_lookup,
+        )
+        self.embed.set_param(new_cache)
+        return loss
 
     def train(
         self,
@@ -176,50 +196,67 @@ class CachedDLRMTrainer:
         num_iters: Optional[int] = None,
         log_every: int = 0,
     ) -> TrainReport:
+        """Pipelined far-sighted training. Per window k (prefetch_num batches):
+
+            begin_prepare(k)                [device: plan + remap, metadata only]
+            finish_prepare(k)               [host staging]
+            dispatch train steps (k)        [device]
+            begin_prepare(k+1)  <- BEFORE the device reaches window k's steps, so
+            finish_prepare(k+1)    host staging for k+1 overlaps k's compute and
+                                   the admit scatter lands between k and k+1.
+
+        This realizes the reference's prefetch pipeline + async cache copy
+        (/root/reference/recsys/dlrm_main.py:243-269) with JAX async dispatch
+        instead of CUDA streams.
+        """
         cfg = self.cfg
         pn = max(1, cfg.cache.prefetch_num)
         losses: List[jnp.ndarray] = []
         it = iter(data)
         total = num_iters
         done = 0
-        t0 = time.perf_counter()
         examples = 0
-        while total is None or done < total:
+
+        fetched = 0
+
+        def fetch_window() -> List[Batch]:
+            nonlocal fetched
             window: List[Batch] = []
-            want = pn if total is None else min(pn, total - done)
+            want = pn if total is None else min(pn, total - fetched)
             for _ in range(want):
                 try:
                     window.append(next(it))
                 except StopIteration:
                     break
-            if not window:
-                break
-            slot_feats = self._prepare_window(window)
-            for b, sf in zip(window, slot_feats):
+            fetched += len(window)
+            return window
+
+        t0 = time.perf_counter()
+        cur = fetch_window()
+        if cur:
+            pw_cur, sf_cur = self._begin_window(cur)
+            self.embed.finish_prepare(pw_cur)
+        while cur:
+            # Dispatch this window's train steps (async).
+            for b, sf in zip(cur, sf_cur):
                 progress = 0.0 if total is None else done / max(total, 1)
-                sparse_lr, dense_lr = self._lrs(progress)
-                self.dense_params, new_cache, loss = _train_step(
-                    self.dense_params,
-                    self.embed.cache_weight,
-                    jnp.asarray(b.dense_features),
-                    sf,
-                    jnp.asarray(b.labels),
-                    sparse_lr,
-                    dense_lr,
-                    mode=cfg.reduction_mode,
-                    compute_dtype_name=cfg.compute_dtype,
-                    use_pallas=cfg.cache.use_pallas_lookup,
-                )
-                self.embed.set_param(new_cache)
-                losses.append(loss)
+                losses.append(self._dispatch_train(b, sf, progress))
                 examples += b.batch_size
                 done += 1
                 self._step_idx += 1
                 if log_every and done % log_every == 0:
                     print(
-                        f"it {done}: loss={float(loss):.5f} "
+                        f"it {done}: loss={float(losses[-1]):.5f} "
                         f"hit_rate={self.embed.stats.hit_rate(window=pn):.4f}"
                     )
+            # Plan + stage the NEXT window while this one computes.
+            nxt = fetch_window()
+            if nxt:
+                pw_nxt, sf_nxt = self._begin_window(nxt)
+                self.embed.finish_prepare(pw_nxt)
+                cur, sf_cur = nxt, sf_nxt
+            else:
+                cur = []
         if losses:
             jax.block_until_ready(losses[-1])
         dt = time.perf_counter() - t0

@@ -94,6 +94,9 @@ class TestPrepareIds:
         # force eviction of row 5 by filling with 4 hotter rows
         lookup_rows(bag, [1, 1, 2, 2, 3, 3, 4, 4])
         assert 5 not in set(np.asarray(bag.state.slot_to_row).tolist())
+        # writeback is deferred; it must land by the next drain point (flush or
+        # the next prepare_ids)
+        bag.flush()
         np.testing.assert_allclose(bag.host_weight[5], 42.0)
 
     def test_flush_writes_all_resident(self):
