@@ -19,7 +19,9 @@ Split of responsibilities:
 
 from __future__ import annotations
 
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Callable, List, NamedTuple, Optional, Sequence
 
@@ -211,11 +213,18 @@ class CachedEmbeddingBag:
         self.stats = CacheStats()
         self.cache_op = True
         self._async = False
-        self._pending_wb: list = []  # deferred eviction writebacks
+        self._pending_wb: list = []  # deferred eviction writebacks (not yet submitted)
         self._stage: dict = {}  # bucket -> (idx i64, slots i32, vals f32) reused buffers
         if transfer_dtype not in ("float32", "bfloat16"):
             raise ValueError(transfer_dtype)
         self._transfer_bf16 = transfer_dtype == "bfloat16"
+        # Async writeback drain: the device->host readback of evicted rows runs
+        # on a worker thread, overlapping the next window's compute. The host
+        # table is guarded by a lock; correctness against re-admission of a
+        # still-in-flight row is enforced by _ensure_clean's intersection check.
+        self._host_lock = threading.Lock()
+        self._wb_exec = ThreadPoolExecutor(max_workers=1)
+        self._wb_futures: list = []  # (future, concatenated evicted row ids)
 
         if self._host_freq is not None and warmup_ratio > 0:
             self._warmup(warmup_ratio)
@@ -342,31 +351,38 @@ class CachedEmbeddingBag:
         self.stats.num_hits_history.append(int(scal[3]))
         self.stats.num_miss_history.append(n_miss)
 
-        # Evicted rows from earlier windows must reach the host table before we
-        # gather any admit rows (a row evicted in window k can be re-admitted in
-        # window k+1 and must come back with its trained value).
-        self._drain_writebacks()
-
         if n_miss == 0:
             self.stats.num_write_back_history.append(0)
+            self._ensure_clean(None, block=False)
             return
 
-        # ONE bucketed readback of the packed index block.
-        nb = _bucket(n_miss)
-        idx_block = np.asarray(slice_plan_indices(plan.indices, nb))
+        # ONE bucketed readback of the packed index block. The device-side slice
+        # is also kept: its row 1 (admit slots) feeds the gather/scatter ops
+        # directly, so the slots never round-trip back to the device.
+        nb = min(_bucket(n_miss), plan.indices.shape[1])
+        idx_dev = slice_plan_indices(plan.indices, nb)  # (3, nb) on device
+        idx_block = np.asarray(idx_dev)
         admit_rows = idx_block[0, :n_miss]
-        admit_slots_np = idx_block[1, :n_miss]
         evict_rows = idx_block[2, :n_miss]
+
+        # Evicted rows from earlier windows must reach the host table before we
+        # gather any admit row that intersects them (a row evicted in window k
+        # can be re-admitted in window k+1 and must come back with its trained
+        # value). Disjoint in-flight writebacks keep draining in the background.
+        self._ensure_clean(admit_rows, block=False)
 
         chunk = self.buffer_size if self.buffer_size > 0 else n_miss
         n_wb = 0
         for s in range(0, n_miss, chunk):
             e = min(s + chunk, n_miss)
-            b = _bucket(e - s)
+            b = min(_bucket(e - s), nb)
             rows_c, slots_c, vals = self._stage_bufs(b)
-            slots_c.fill(-1)
-            slots_c[: e - s] = admit_slots_np[s:e]
-            slots_dev = jnp.array(slots_c)  # copy: slots_c is a reused buffer
+            if s == 0 and e == n_miss and b == nb:
+                slots_dev = idx_dev[1]  # fast path: slots already on device
+            else:
+                slots_c.fill(-1)
+                slots_c[: e - s] = idx_block[1, s:e]
+                slots_dev = jnp.array(slots_c)  # copy: slots_c is a reused buffer
             # ---- enqueue writeback read of evicted rows (HBM->host, deferred) ----
             ev_rows_c = evict_rows[s:e]
             wb_mask = ev_rows_c >= 0
@@ -381,7 +397,8 @@ class CachedEmbeddingBag:
             t0 = time.perf_counter()
             rows_c.fill(0)
             rows_c[: e - s] = admit_rows[s:e]
-            self.host_table.gather(rows_c, vals)
+            with self._host_lock:
+                self.host_table.gather(rows_c, vals)
             # jnp.array (copy=True) — the staging buffer is reused next chunk, so
             # the transfer must not alias it (jnp.asarray zero-copies on CPU and
             # device_put's DMA may read the host buffer after return).
@@ -394,6 +411,40 @@ class CachedEmbeddingBag:
             self.stats.swap_in_bytes += (e - s) * self.embedding_dim * 4
             self.stats.swap_in_time += time.perf_counter() - t0
         self.stats.num_write_back_history.append(n_wb)
+        self._submit_writebacks()
+
+    def _submit_writebacks(self) -> None:
+        """Hand the pending writeback readbacks to the worker thread."""
+        items, self._pending_wb = self._pending_wb, []
+        if not items:
+            return
+        rows = np.concatenate([ev for ev, _, _, _ in items])
+        fut = self._wb_exec.submit(self._do_drain, items)
+        self._wb_futures.append((fut, rows))
+
+    def _do_drain(self, items) -> None:
+        t0 = time.perf_counter()
+        for ev_rows, wb_mask, n, vals_dev in items:
+            vals = np.asarray(vals_dev)  # blocks until the enqueued gather ran
+            if vals.dtype != np.float32:
+                vals = vals.astype(np.float32)
+            with self._host_lock:
+                self.host_table.scatter(ev_rows, vals[:n][wb_mask])
+            self.stats.swap_out_bytes += ev_rows.shape[0] * self.embedding_dim * 4
+        self.stats.swap_out_time += time.perf_counter() - t0
+
+    def _ensure_clean(self, admit_rows: Optional[np.ndarray], block: bool) -> None:
+        """Wait for in-flight writebacks that intersect ``admit_rows`` (or all of
+        them when block=True / admit_rows is None and block requested)."""
+        still = []
+        for fut, rows in self._wb_futures:
+            if fut.done():
+                fut.result()
+            elif block or (admit_rows is not None and np.isin(admit_rows, rows).any()):
+                fut.result()
+            else:
+                still.append((fut, rows))
+        self._wb_futures = still
 
     def _stage_bufs(self, b: int):
         """Persistent per-bucket staging buffers — transient multi-MB allocations
@@ -406,17 +457,11 @@ class CachedEmbeddingBag:
         return self._stage[b]
 
     def _drain_writebacks(self) -> None:
-        if not self._pending_wb:
-            return
-        t0 = time.perf_counter()
-        for ev_rows, wb_mask, n, vals_dev in self._pending_wb:
-            vals = np.asarray(vals_dev)  # blocks until the enqueued gather ran
-            if vals.dtype != np.float32:
-                vals = vals.astype(np.float32)
-            self.host_table.scatter(ev_rows, vals[:n][wb_mask])
-            self.stats.swap_out_bytes += ev_rows.shape[0] * self.embedding_dim * 4
-        self._pending_wb.clear()
-        self.stats.swap_out_time += time.perf_counter() - t0
+        """Synchronous full drain: all in-flight + pending writebacks land."""
+        self._ensure_clean(None, block=True)
+        items, self._pending_wb = self._pending_wb, []
+        if items:
+            self._do_drain(items)
 
     # -- lookup / forward -----------------------------------------------------
     def lookup(self, features: RaggedFeatures) -> jnp.ndarray:

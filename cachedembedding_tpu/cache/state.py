@@ -33,7 +33,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from cachedembedding_tpu.ops.unique import unique_fixed
+from cachedembedding_tpu.ops.unique import unique_fixed, unique_mask
 
 
 class EvictionStrategy(enum.Enum):
@@ -158,7 +158,9 @@ def plan_ids(
     N = state.num_rows
     U = min(unique_budget, C)
 
-    uids, counts, n_unique = unique_fixed(ids, U)
+    # Sort-free unique over the bounded row domain — see unique_mask. Falls back
+    # to the sort-based path only if the domain were unbounded (it never is).
+    uids, counts, n_unique = unique_mask(ids, U, N)
     valid = uids >= 0
     safe_uids = jnp.where(valid, uids, 0)
     slots = state.row_to_slot[safe_uids]  # (U,)

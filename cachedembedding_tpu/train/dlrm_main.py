@@ -1,0 +1,219 @@
+"""Training CLI — flag-level parity with the reference entry point
+(/root/reference/recsys/dlrm_main.py:23-174) on the TPU stack.
+
+Usage:
+  python -m cachedembedding_tpu.train.dlrm_main --dataset_dir /data/criteo_kaggle \
+      --batch_size 16384 --use_cache --cache_ratio 0.01 --use_freq --use_overlap
+
+With no --dataset_dir, trains on procedural synthetic long-tail batches (the
+reference defaults to 10 random batches, dlrm_main.py:186-190).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="cachedembedding_tpu DLRM trainer")
+    # data
+    p.add_argument("--dataset_dir", type=str, default=None)
+    p.add_argument("--kaggle", action="store_true", help="treat dataset as criteo kaggle")
+    p.add_argument("--num_embeddings_per_feature", type=str, default=None,
+                   help="comma-separated table sizes (overrides dataset constants)")
+    p.add_argument("--batch_size", type=int, default=16384)
+    p.add_argument("--limit_train_batches", type=int, default=None)
+    p.add_argument("--limit_val_batches", type=int, default=None)
+    p.add_argument("--limit_test_batches", type=int, default=None)
+    p.add_argument("--shuffle_batches", action="store_true")
+    p.add_argument("--pin_memory", action="store_true", help="accepted for parity (no-op on TPU-VM)")
+    # model
+    p.add_argument("--model", choices=["dlrm", "deepfm"], default="dlrm")
+    p.add_argument("--embedding_dim", type=int, default=128)
+    p.add_argument("--dense_arch_layer_sizes", type=str, default="512,256,128")
+    p.add_argument("--over_arch_layer_sizes", type=str, default="1024,1024,512,256,1")
+    # training
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--learning_rate", "--lr", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=1024)
+    p.add_argument("--change_lr", action="store_true")
+    p.add_argument("--lr_change_point", type=float, default=0.8)
+    p.add_argument("--lr_after", type=float, default=0.2)
+    p.add_argument("--validation_freq_within_epoch", type=int, default=None)
+    # cache
+    p.add_argument("--use_cache", action="store_true")
+    p.add_argument("--cache_ratio", type=float, default=0.01)
+    p.add_argument("--cache_sets", type=int, default=None,
+                   help="legacy reference flag (pre --cache_ratio); sets capacity rows directly")
+    p.add_argument("--warmup_ratio", type=float, default=0.7)
+    p.add_argument("--buffer_size", type=int, default=50_000)
+    p.add_argument("--use_freq", action="store_true")
+    p.add_argument("--use_lfu", action="store_true")
+    p.add_argument("--use_overlap", action="store_true")
+    p.add_argument("--prefetch_num", type=int, default=1)
+    p.add_argument("--transfer_dtype", choices=["float32", "bfloat16"], default="float32")
+    # parallelism
+    p.add_argument("--use_tablewise", action="store_true")
+    p.add_argument("--fused_op", choices=["all_to_all", "gather_scatter"], default="all_to_all")
+    p.add_argument("--world_size", type=int, default=None,
+                   help="devices to use (default: all visible)")
+    # observability / debug
+    p.add_argument("--inspect_time", action="store_true",
+                   help="run 200 iters printing per-step loss + timing, then exit "
+                        "(/root/reference/recsys/dlrm_main.py:464-495)")
+    p.add_argument("--profile_dir", type=str, default="")
+    p.add_argument("--memory_fraction", type=float, default=None)
+    p.add_argument("--compute_dtype", choices=["float32", "bfloat16"], default="float32")
+    return p.parse_args(argv)
+
+
+def build_config(args):
+    from cachedembedding_tpu.config import (
+        AVAZU_NUM_DENSE,
+        AVAZU_NUM_EMBEDDINGS_PER_FEATURE,
+        CRITEO_1TB_NUM_EMBEDDINGS_PER_FEATURE,
+        CRITEO_KAGGLE_NUM_EMBEDDINGS_PER_FEATURE,
+        CRITEO_NUM_DENSE,
+        CacheConfig,
+        DLRMConfig,
+    )
+
+    dense_in = CRITEO_NUM_DENSE
+    if args.num_embeddings_per_feature:
+        tables = [int(x) for x in args.num_embeddings_per_feature.split(",")]
+    elif args.dataset_dir is None:
+        tables = [100_000, 20_000, 10_000, 5_000]
+        dense_in = 13
+    elif "kaggle" in args.dataset_dir or args.kaggle:
+        tables = CRITEO_KAGGLE_NUM_EMBEDDINGS_PER_FEATURE
+    elif "avazu" in args.dataset_dir:
+        tables = AVAZU_NUM_EMBEDDINGS_PER_FEATURE
+        dense_in = AVAZU_NUM_DENSE
+    else:
+        tables = CRITEO_1TB_NUM_EMBEDDINGS_PER_FEATURE
+
+    cache = CacheConfig(
+        cache_ratio=args.cache_ratio,
+        warmup_ratio=args.warmup_ratio,
+        buffer_size=args.buffer_size,
+        use_lfu_eviction=args.use_lfu,
+        use_freq=args.use_freq,
+        prefetch_num=args.prefetch_num,
+        use_overlap=args.use_overlap,
+        transfer_dtype=args.transfer_dtype,
+    )
+    cfg = DLRMConfig(
+        num_embeddings_per_feature=tables,
+        embedding_dim=args.embedding_dim,
+        dense_in_features=dense_in,
+        dense_arch_layer_sizes=tuple(int(x) for x in args.dense_arch_layer_sizes.split(",")),
+        over_arch_layer_sizes=tuple(int(x) for x in args.over_arch_layer_sizes.split(",")),
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
+        epochs=args.epochs,
+        seed=args.seed,
+        change_lr=args.change_lr,
+        lr_change_point=args.lr_change_point,
+        lr_after=args.lr_after,
+        shuffle_batches=args.shuffle_batches,
+        validation_freq_within_epoch=args.validation_freq_within_epoch,
+        use_tablewise=args.use_tablewise,
+        fused_op=args.fused_op,
+        compute_dtype=args.compute_dtype,
+        cache=cache,
+    )
+    return cfg
+
+
+def get_data(args, cfg, stage: str):
+    if args.dataset_dir is None:
+        from cachedembedding_tpu.data.synthetic import SyntheticLongTailDataset
+
+        n = {"train": args.limit_train_batches or 10,
+             "val": args.limit_val_batches or 2,
+             "test": args.limit_test_batches or 2}[stage]
+        return SyntheticLongTailDataset(
+            cfg.num_embeddings_per_feature, cfg.batch_size, n,
+            dense_in_features=cfg.dense_in_features,
+            seed=cfg.seed + {"train": 0, "val": 1, "test": 2}[stage],
+        )
+    if "avazu" in args.dataset_dir:
+        from cachedembedding_tpu.data import avazu as mod
+    else:
+        from cachedembedding_tpu.data import criteo as mod
+    return mod.get_dataloader(
+        args.dataset_dir, stage, cfg.batch_size,
+        shuffle_batches=cfg.shuffle_batches, seed=cfg.seed,
+    )
+
+
+def get_freq(args, cfg) -> Optional[np.ndarray]:
+    if not args.use_freq:
+        return None
+    if args.dataset_dir is None:
+        from cachedembedding_tpu.data.synthetic import SyntheticLongTailDataset
+
+        return get_data(args, cfg, "train").id_freq_map()
+    if "avazu" in args.dataset_dir:
+        from cachedembedding_tpu.data.avazu import get_id_freq_map
+    else:
+        from cachedembedding_tpu.data.criteo import get_id_freq_map
+    return np.asarray(get_id_freq_map(args.dataset_dir))
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    from cachedembedding_tpu.train.trainer import CachedDLRMTrainer
+    from cachedembedding_tpu.utils.misc import get_mem_info
+
+    cfg = build_config(args)
+    print(f"config: {cfg}", file=sys.stderr)
+    freq = get_freq(args, cfg)
+    trainer = CachedDLRMTrainer(cfg, id_freq_map=freq)
+    print(get_mem_info("after model init"), file=sys.stderr)
+
+    train_data = get_data(args, cfg, "train")
+    limit = args.limit_train_batches
+
+    if args.inspect_time:
+        report = trainer.train(train_data, num_iters=min(limit or 200, 200), log_every=1)
+        print(f"inspect: {report.it_per_s:.2f} it/s over {len(report.losses)} iters")
+        trainer.embed.print_comm_stats()
+        return
+
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(args.profile_dir)
+
+    for epoch in range(cfg.epochs):
+        t0 = time.perf_counter()
+        report = trainer.train(train_data, num_iters=limit, log_every=100)
+        print(
+            f"epoch {epoch}: {len(report.losses)} iters in {time.perf_counter()-t0:.0f}s "
+            f"({report.it_per_s:.2f} it/s, {report.examples_per_s:.0f} ex/s, "
+            f"hit_rate={report.hit_rate:.4f})"
+        )
+        trainer.embed.print_comm_stats()
+        for stage, lim in [("val", args.limit_val_batches), ("test", args.limit_test_batches)]:
+            data = get_data(args, cfg, stage)
+            if lim:
+                data = list(data)[:lim]
+            metrics = trainer.evaluate(data)
+            print(f"epoch {epoch} {stage}: auroc={metrics['auroc']:.9f} "
+                  f"accuracy={metrics['accuracy']:.9f} over {metrics['count']}")
+
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+    print(get_mem_info("after training"), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -237,6 +237,13 @@ class CachedDLRMTrainer:
             pw_cur, sf_cur = self._begin_window(cur)
             self.embed.finish_prepare(pw_cur)
         while cur:
+            # Plan the NEXT window FIRST: the metadata-only plan lands in the
+            # device queue ahead of this window's train steps, so by the time
+            # finish_prepare reads it back the wait is the plan itself, not the
+            # whole window's compute.
+            nxt = fetch_window()
+            if nxt:
+                pw_nxt, sf_nxt = self._begin_window(nxt)
             # Dispatch this window's train steps (async).
             for b, sf in zip(cur, sf_cur):
                 progress = 0.0 if total is None else done / max(total, 1)
@@ -245,14 +252,16 @@ class CachedDLRMTrainer:
                 done += 1
                 self._step_idx += 1
                 if log_every and done % log_every == 0:
+                    # NOTE: read as a (1,) array — 0-d readbacks are pathologically
+                    # slow on tunneled device links.
+                    loss_val = np.asarray(losses[-1].reshape(1))[0]
                     print(
-                        f"it {done}: loss={float(losses[-1]):.5f} "
+                        f"it {done}: loss={loss_val:.5f} "
                         f"hit_rate={self.embed.stats.hit_rate(window=pn):.4f}"
                     )
-            # Plan + stage the NEXT window while this one computes.
-            nxt = fetch_window()
+            # Stage the next window's rows while this window computes (the admit
+            # scatter lands on device between the two windows' train steps).
             if nxt:
-                pw_nxt, sf_nxt = self._begin_window(nxt)
                 self.embed.finish_prepare(pw_nxt)
                 cur, sf_cur = nxt, sf_nxt
             else:
@@ -260,8 +269,10 @@ class CachedDLRMTrainer:
         if losses:
             jax.block_until_ready(losses[-1])
         dt = time.perf_counter() - t0
+        # single batched readback of all per-step losses (0-d reads are slow)
+        loss_list = [float(x) for x in np.asarray(jnp.stack(losses))] if losses else []
         return TrainReport(
-            losses=[float(l) for l in losses],
+            losses=loss_list,
             it_per_s=done / dt if dt > 0 else 0.0,
             examples_per_s=examples / dt if dt > 0 else 0.0,
             hit_rate=self.embed.stats.hit_rate(),
