@@ -210,6 +210,15 @@ void overlay_free(void* h) { delete static_cast<Overlay*>(h); }
 
 int64_t overlay_used(void* h) { return static_cast<Overlay*>(h)->used; }
 
+// Dump the written row ids (out must have room for overlay_used entries).
+void overlay_keys(void* h, int64_t* out) {
+  Overlay& t = *static_cast<Overlay*>(h);
+  int64_t j = 0;
+  for (uint64_t s = 0; s <= t.mask; ++s) {
+    if (t.keys[s] != -1) out[j++] = t.keys[s];
+  }
+}
+
 // out[i] = overlay[ids[i]] if written else procedural(ids[i], bounds[i])
 void overlay_gather_f32(void* h, const int64_t* ids, const float* bounds,
                         float* out, int64_t n) {

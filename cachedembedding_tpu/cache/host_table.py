@@ -84,6 +84,7 @@ class VirtualHostTable:
         lib.overlay_scatter_f32.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.overlay_keys.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib._overlay_proto_done = True
 
     @property
@@ -118,6 +119,14 @@ class VirtualHostTable:
         self._lib.overlay_scatter_f32(
             self._h, idx.ctypes.data, vals.ctypes.data, idx.shape[0]
         )
+
+    def written_rows(self) -> np.ndarray:
+        """Row ids that have been written back (checkpointing support)."""
+        n = self.overlay_rows
+        out = np.empty((n,), np.int64)
+        if n:
+            self._lib.overlay_keys(self._h, out.ctypes.data)
+        return out
 
     def __del__(self):
         try:

@@ -59,6 +59,7 @@ def _local_step(
     pooling: int,
     mode: str,
     compute_dtype,
+    fused_op: str = "all_to_all",
 ):
     w = jax.lax.axis_size(AXIS)
     B_local = global_batch // w
@@ -72,11 +73,22 @@ def _local_step(
             pooling=pooling,
         )
         pooled = embedding_bag(cw, feats, mode=mode)  # (B_global, F, D/w)
-        # Fused reshard: split batch into w chunks, concat dim shards.
-        # (B_global, F, Dw) -> (B_local, F, D)
-        emb_local = jax.lax.all_to_all(
-            pooled, AXIS, split_axis=0, concat_axis=2, tiled=True
-        )
+        # Fused reshard (B_global, F, Dw) -> (B_local, F, D). Two strategies, the
+        # reference's --fused_op (/root/reference/recsys/dlrm_main.py:35-39):
+        if fused_op == "all_to_all":
+            # split batch into w chunks, concat dim shards
+            emb_local = jax.lax.all_to_all(
+                pooled, AXIS, split_axis=0, concat_axis=2, tiled=True
+            )
+        elif fused_op == "gather_scatter":
+            # all-gather every rank's dim shard of the FULL batch, then slice out
+            # the local batch block (backward: pad + reduce-scatter). More comm
+            # volume than all_to_all but a single latency-bound collective.
+            my = jax.lax.axis_index(AXIS)
+            gathered = jax.lax.all_gather(pooled, AXIS, axis=2, tiled=True)
+            emb_local = jax.lax.dynamic_slice_in_dim(gathered, my * B_local, B_local, 0)
+        else:
+            raise ValueError(f"unknown fused_op {fused_op!r}")
         logits = dlrm_dense_forward(dp, dense_local, emb_local, compute_dtype)
         # Local SUM normalized by the GLOBAL batch: summed across ranks this is
         # exactly the global-mean BCE, so the step is numerically identical to a
@@ -107,6 +119,7 @@ def hybrid_train_step(
     pooling: int = 1,
     mode: str = "sum",
     compute_dtype=jnp.float32,
+    fused_op: str = "all_to_all",
 ):
     """Build the jitted hybrid-parallel train step for a given mesh/shapes.
 
@@ -122,6 +135,7 @@ def hybrid_train_step(
         pooling=pooling,
         mode=mode,
         compute_dtype=compute_dtype,
+        fused_op=fused_op,
     )
     mapped = jax.shard_map(
         inner,
