@@ -66,6 +66,7 @@ class DLRMConfig:
 
     # precision
     compute_dtype: str = "float32"     # dense tower matmul dtype ("bfloat16" for MXU speed)
+    use_sparse_embed_grad: bool = False  # --use_sparse_embed_grad: force scatter-add SGD
 
     cache: CacheConfig = dataclasses.field(default_factory=CacheConfig)
 

@@ -53,7 +53,7 @@ class TrainReport:
 
 @partial(
     jax.jit,
-    static_argnames=("mode", "compute_dtype_name", "use_pallas"),
+    static_argnames=("mode", "compute_dtype_name", "use_pallas", "sparse_grad"),
     donate_argnames=("dense_params", "cache_weight"),
 )
 def _train_step(
@@ -67,19 +67,49 @@ def _train_step(
     mode: str = "sum",
     compute_dtype_name: str = "float32",
     use_pallas: bool = False,
+    sparse_grad: bool = False,
 ):
+    """One SGD step. ``sparse_grad`` differentiates w.r.t. the GATHERED rows and
+    applies a scatter-add update instead of materializing a dense (C, D) grad —
+    the reference's --use_sparse_embed_grad (sparse EmbeddingBag). Essential when
+    the table is fully HBM-resident (a dense grad would be a full-table pass per
+    step); pointless for the small cached table."""
     compute_dtype = jnp.dtype(compute_dtype_name)
 
-    def loss_fn(dp, cw):
-        sparse_bfd = embedding_bag(cw, slot_features, mode=mode, use_pallas=use_pallas)
-        logits = dlrm_dense_forward(dp, dense_features, sparse_bfd, compute_dtype)
-        return bce_with_logits(logits, labels)
+    if sparse_grad:
+        rows0 = jnp.take(cache_weight, slot_features.values, axis=0)  # (L, D)
 
-    loss, (g_dense, g_cache) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-        dense_params, cache_weight
-    )
+        def loss_fn_rows(dp, rows):
+            F, B = slot_features.num_features, slot_features.batch_size
+            P = slot_features.pooling
+            assert P is not None, "sparse_grad path requires uniform pooling"
+            pooled = rows.reshape(F, B, P, -1).astype(jnp.float32)
+            if mode == "sum":
+                pooled = pooled.sum(axis=2)
+            else:
+                pooled = pooled.mean(axis=2)
+            sparse_bfd = jnp.transpose(pooled, (1, 0, 2))
+            logits = dlrm_dense_forward(dp, dense_features, sparse_bfd, compute_dtype)
+            return bce_with_logits(logits, labels)
+
+        loss, (g_dense, g_rows) = jax.value_and_grad(loss_fn_rows, argnums=(0, 1))(
+            dense_params, rows0
+        )
+        new_cache = cache_weight.at[slot_features.values].add(
+            (-sparse_lr * g_rows).astype(cache_weight.dtype)
+        )
+    else:
+
+        def loss_fn(dp, cw):
+            sparse_bfd = embedding_bag(cw, slot_features, mode=mode, use_pallas=use_pallas)
+            logits = dlrm_dense_forward(dp, dense_features, sparse_bfd, compute_dtype)
+            return bce_with_logits(logits, labels)
+
+        loss, (g_dense, g_cache) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            dense_params, cache_weight
+        )
+        new_cache = cache_weight - sparse_lr * g_cache
     new_dense = jax.tree_util.tree_map(lambda p, g: p - dense_lr * g, dense_params, g_dense)
-    new_cache = cache_weight - sparse_lr * g_cache
     return new_dense, new_cache, loss
 
 
@@ -100,12 +130,17 @@ def _eval_step(
 
 
 class CachedDLRMTrainer:
-    def __init__(self, cfg: DLRMConfig, id_freq_map: Optional[np.ndarray] = None):
+    def __init__(
+        self,
+        cfg: DLRMConfig,
+        id_freq_map: Optional[np.ndarray] = None,
+        embed_override=None,
+    ):
         self.cfg = cfg
         from cachedembedding_tpu.cache.state import EvictionStrategy
 
         cache_cfg = cfg.cache
-        self.embed = CachedEmbeddingBag(
+        self.embed = embed_override if embed_override is not None else CachedEmbeddingBag(
             cfg.total_num_embeddings,
             cfg.embedding_dim,
             mode=cfg.reduction_mode,
@@ -175,6 +210,12 @@ class CachedDLRMTrainer:
     def _dispatch_train(self, b: Batch, sf: RaggedFeatures, progress: float):
         cfg = self.cfg
         sparse_lr, dense_lr = self._lrs(progress)
+        # Sparse-grad SGD (scatter-add of per-row grads) when the table is much
+        # larger than the id stream — otherwise a dense (C, D) grad is cheaper.
+        sparse_grad = (
+            cfg.use_sparse_embed_grad
+            or self.embed.capacity > 4 * int(sf.values.shape[0])
+        ) and sf.pooling is not None
         self.dense_params, new_cache, loss = _train_step(
             self.dense_params,
             self.embed.cache_weight,
@@ -186,6 +227,7 @@ class CachedDLRMTrainer:
             mode=cfg.reduction_mode,
             compute_dtype_name=cfg.compute_dtype,
             use_pallas=cfg.cache.use_pallas_lookup,
+            sparse_grad=sparse_grad,
         )
         self.embed.set_param(new_cache)
         return loss
