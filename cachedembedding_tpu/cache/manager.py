@@ -43,6 +43,7 @@ from cachedembedding_tpu.cache.state import (
     scatter_admits,
     slice_plan_indices,
 )
+from cachedembedding_tpu.cache.host_directory import HostPlan, make_directory
 from cachedembedding_tpu.cache.host_table import DenseHostTable, VirtualHostTable
 from cachedembedding_tpu.jagged import RaggedFeatures
 from cachedembedding_tpu.ops.embedding_bag import embedding_bag
@@ -82,11 +83,20 @@ class CacheStats:
 
 
 class PreparedWindow(NamedTuple):
-    """A dispatched-but-not-staged cache window (begin_prepare output)."""
+    """A dispatched-but-not-staged cache window (device-planner begin_prepare)."""
 
     slot_ids: "jnp.ndarray"
     plan: Plan
     budget: int
+
+
+class HostPreparedWindow(NamedTuple):
+    """begin_prepare output under the host-directory planner: the plan is
+    already known on the host (no readback will ever be needed); slot_ids are
+    in flight to the device."""
+
+    slot_ids: "jnp.ndarray"
+    hplan: HostPlan
 
 
 def _bucket(n: int, lo: int = 2048) -> int:
@@ -149,6 +159,9 @@ class CachedEmbeddingBag:
         # VirtualHostTable: host memory = touched working set only)
         host_table=None,  # explicit HostTable instance (overrides weight_init)
         approx_evict: bool = False,
+        planner: str = "auto",  # "host" (native C++ directory, zero readbacks)
+        # | "device" (jitted plan_ids state machine) | "auto" (host if native
+        # lib present). See cache/host_directory.py for the why.
         use_pallas_lookup: bool = False,
         transfer_dtype: str = "float32",  # "bfloat16" halves host<->HBM row
         # payloads (cache + host master stay float32; rows are rounded once on
@@ -194,8 +207,28 @@ class CachedEmbeddingBag:
                 raise ValueError(f"unknown weight_init {weight_init!r}")
             self.host_table = DenseHostTable(arr)
 
+        # --- planner: host C++ directory (default) or device state machine ---
+        from cachedembedding_tpu._native import hostops as _hostops
+
+        if planner == "auto":
+            planner = "host" if _hostops.native_available() else "device"
+        if planner not in ("host", "device"):
+            raise ValueError(f"unknown planner {planner!r}")
+        self.planner = planner
+        self._dir = (
+            make_directory(self.num_embeddings, self.capacity, evict_strategy)
+            if planner == "host"
+            else None
+        )
+
         # --- device cache ---
-        self.state = init_cache_state(self.num_embeddings, self.capacity)
+        # state is only materialized for the device planner (row_to_slot alone
+        # is 4 bytes/row of HBM — the host directory keeps it in host DRAM).
+        self.state = (
+            init_cache_state(self.num_embeddings, self.capacity)
+            if planner == "device"
+            else None
+        )
         self.cache_weight = jnp.zeros((self.capacity, self.embedding_dim), dtype=dtype)
 
         self.dataset_freq: Optional[jnp.ndarray] = None
@@ -204,7 +237,12 @@ class CachedEmbeddingBag:
             assert freq.shape[0] == self.num_embeddings
             self._host_freq = freq
             if evict_strategy == EvictionStrategy.DATASET:
-                self.dataset_freq = jnp.asarray(np.minimum(freq, 2**31 - 1), dtype=jnp.int32)
+                if self._dir is not None:
+                    self._dir.set_dataset_freq(freq)
+                else:
+                    self.dataset_freq = jnp.asarray(
+                        np.minimum(freq, 2**31 - 1), dtype=jnp.int32
+                    )
         else:
             self._host_freq = None
             if evict_strategy == EvictionStrategy.DATASET:
@@ -214,7 +252,6 @@ class CachedEmbeddingBag:
         self.cache_op = True
         self._async = False
         self._pending_wb: list = []  # deferred eviction writebacks (not yet submitted)
-        self._stage: dict = {}  # bucket -> (idx i64, slots i32, vals f32) reused buffers
         if transfer_dtype not in ("float32", "bfloat16"):
             raise ValueError(transfer_dtype)
         self._transfer_bf16 = transfer_dtype == "bfloat16"
@@ -267,24 +304,24 @@ class CachedEmbeddingBag:
             return
         freq = self._host_freq
         top = np.argpartition(freq, -k)[-k:].astype(np.int64)
-        # state arrays built host-side, then shipped once
-        s2r = np.full((self.capacity,), -1, np.int32)
-        r2s = np.full((self.num_embeddings,), -1, np.int32)
-        s2r[:k] = top
-        r2s[top] = np.arange(k, dtype=np.int32)
-        if self.evict_strategy == EvictionStrategy.DATASET:
-            sfreq = np.zeros((self.capacity,), np.int32)
-            sfreq[:k] = np.minimum(freq[top], 2**31 - 1)
+        # Seed eviction priority with (capped) dataset frequency so warm rows
+        # are not immediately evicted before earning runtime hits.
+        warm_freq = np.minimum(freq[top], 2**31 - 1)
+        if self._dir is not None:
+            self._dir.warmup(top, warm_freq)
         else:
-            # Seed LFU counters with (capped) dataset frequency so warm rows are not
-            # immediately evicted before earning runtime hits.
+            # state arrays built host-side, then shipped once
+            s2r = np.full((self.capacity,), -1, np.int32)
+            r2s = np.full((self.num_embeddings,), -1, np.int32)
+            s2r[:k] = top
+            r2s[top] = np.arange(k, dtype=np.int32)
             sfreq = np.zeros((self.capacity,), np.int32)
-            sfreq[:k] = np.minimum(freq[top], 2**31 - 1)
-        self.state = CacheState(
-            slot_to_row=jnp.asarray(s2r),
-            row_to_slot=jnp.asarray(r2s),
-            slot_freq=jnp.asarray(sfreq),
-        )
+            sfreq[:k] = warm_freq
+            self.state = CacheState(
+                slot_to_row=jnp.asarray(s2r),
+                row_to_slot=jnp.asarray(r2s),
+                slot_freq=jnp.asarray(sfreq),
+            )
         t0 = time.perf_counter()
         rows = self.host_table.gather(top)
         cw = np.zeros((self.capacity, self.embedding_dim), np.float32)
@@ -301,13 +338,33 @@ class CachedEmbeddingBag:
         self.finish_prepare(pw)
         return pw.slot_ids
 
-    def begin_prepare(self, ids) -> "PreparedWindow":
-        """Dispatch the (device-only) cache plan + id remap for a window WITHOUT
-        doing any row movement. The pipelined trainer calls this BEFORE enqueueing
-        the previous window's train steps, so by the time finish_prepare reads the
-        plan back, the device has computed it — host staging then overlaps the
-        train compute (the TPU re-design of --use_overlap + async cache copy,
-        /root/reference/recsys/dlrm_main.py:121,354)."""
+    def begin_prepare(self, ids, out_shape=None, device_put=True):
+        """Compute the cache plan + id remap for a window WITHOUT doing any row
+        movement. The pipelined trainer calls this while the device is busy with
+        the previous window's train steps, so plan time overlaps compute (the
+        TPU re-design of --use_overlap + async cache copy,
+        /root/reference/recsys/dlrm_main.py:121,354).
+
+        Host planner: the plan is computed synchronously in native C++ (tens of
+        ms for millions of ids) and the remapped slot ids start their async
+        host->device transfer immediately. Device planner: the jitted plan_ids
+        state machine is dispatched; the small plan arrays are read back in
+        finish_prepare."""
+        if self._dir is not None:
+            ids_np = np.ascontiguousarray(np.asarray(ids), dtype=np.int32)
+            hplan = self._dir.plan(ids_np)
+            host_slot_ids = (
+                hplan.slot_ids.reshape(out_shape) if out_shape else hplan.slot_ids
+            )
+            # device_put=False lets the caller pack slot ids into a single
+            # combined input transfer (each separate device_put costs a link
+            # round-trip on tunneled PJRT backends).
+            slot_ids = (
+                jax.device_put(host_slot_ids, self.device)
+                if device_put
+                else host_slot_ids
+            )
+            return HostPreparedWindow(slot_ids=slot_ids, hplan=hplan)
         ids_dev = jnp.asarray(ids, dtype=jnp.int32)
         L = int(ids_dev.shape[0])
         budget = self.unique_budget or L
@@ -321,15 +378,19 @@ class CachedEmbeddingBag:
         )
         self.state = new_state
         slot_ids = remap_ids(self.state, ids_dev)
+        if out_shape is not None:
+            slot_ids = slot_ids.reshape(out_shape)
         return PreparedWindow(slot_ids=slot_ids, plan=plan, budget=budget)
 
-    def finish_prepare(self, pw: "PreparedWindow") -> None:
+    def finish_prepare(self, pw) -> None:
         """Execute the row movement for a prepared window. Device-order contract
         (enqueue order): [prev window's train steps] -> writeback gather ->
         scatter admits -> [this window's train steps]. Host work here overlaps
         the previous window's compute; evicted-row values are read back lazily on
         the NEXT finish_prepare/flush (deferred writeback), by which point the
         device has long finished them."""
+        if isinstance(pw, HostPreparedWindow):
+            return self._finish_prepare_host(pw.hplan)
         plan, budget = pw.plan, pw.budget
         # ONE scalar readback for all counts/flags (round-trips are ~0.1s on the
         # tunneled link — the packed Plan exists to keep this to 2 transfers).
@@ -380,9 +441,8 @@ class CachedEmbeddingBag:
             if s == 0 and e == n_miss and b == nb:
                 slots_dev = idx_dev[1]  # fast path: slots already on device
             else:
-                slots_c.fill(-1)
                 slots_c[: e - s] = idx_block[1, s:e]
-                slots_dev = jnp.array(slots_c)  # copy: slots_c is a reused buffer
+                slots_dev = jnp.array(slots_c)
             # ---- enqueue writeback read of evicted rows (HBM->host, deferred) ----
             ev_rows_c = evict_rows[s:e]
             wb_mask = ev_rows_c >= 0
@@ -399,9 +459,55 @@ class CachedEmbeddingBag:
             rows_c[: e - s] = admit_rows[s:e]
             with self._host_lock:
                 self.host_table.gather(rows_c, vals)
-            # jnp.array (copy=True) — the staging buffer is reused next chunk, so
-            # the transfer must not alias it (jnp.asarray zero-copies on CPU and
-            # device_put's DMA may read the host buffer after return).
+            payload = (
+                vals.astype(ml_dtypes.bfloat16) if self._transfer_bf16 else vals
+            )
+            self.cache_weight = scatter_admits(
+                self.cache_weight, slots_dev, jnp.array(payload)
+            )
+            self.stats.swap_in_bytes += (e - s) * self.embedding_dim * 4
+            self.stats.swap_in_time += time.perf_counter() - t0
+        self.stats.num_write_back_history.append(n_wb)
+        self._submit_writebacks()
+
+    def _finish_prepare_host(self, hp: HostPlan) -> None:
+        """Row movement under the host-directory planner: everything is already
+        known on the host — no device readback happens here, ever. Enqueued
+        device ops: [writeback gather of evicted slots] -> [scatter of admitted
+        rows], which land between the previous and next windows' train steps."""
+        self.stats.prepare_calls += 1
+        self.stats.num_hits_history.append(hp.n_hit_unique)
+        n_miss = int(hp.admit_rows.shape[0])
+        self.stats.num_miss_history.append(n_miss)
+        if n_miss == 0:
+            self.stats.num_write_back_history.append(0)
+            self._ensure_clean(None, block=False)
+            return
+        self._ensure_clean(hp.admit_rows, block=False)
+        chunk = self.buffer_size if self.buffer_size > 0 else n_miss
+        n_wb = 0
+        for s in range(0, n_miss, chunk):
+            e = min(s + chunk, n_miss)
+            b = _bucket(e - s)
+            rows_c, slots_c, vals = self._stage_bufs(b)
+            slots_c[: e - s] = hp.admit_slots[s:e]
+            slots_dev = jnp.array(slots_c)
+            # ---- enqueue writeback read of evicted rows (HBM->host, deferred) ----
+            ev_rows_c = hp.evict_rows[s:e]
+            wb_mask = ev_rows_c >= 0
+            if wb_mask.any():
+                vals_dev = gather_slots(
+                    self.cache_weight, slots_dev,
+                    out_dtype="bfloat16" if self._transfer_bf16 else None,
+                )
+                self._pending_wb.append((ev_rows_c[wb_mask], wb_mask, e - s, vals_dev))
+                n_wb += int(wb_mask.sum())
+            # ---- admit missing rows (host -> HBM) ----
+            t0 = time.perf_counter()
+            rows_c.fill(0)
+            rows_c[: e - s] = hp.admit_rows[s:e]
+            with self._host_lock:
+                self.host_table.gather(rows_c, vals)
             payload = (
                 vals.astype(ml_dtypes.bfloat16) if self._transfer_bf16 else vals
             )
@@ -447,14 +553,16 @@ class CachedEmbeddingBag:
         self._wb_futures = still
 
     def _stage_bufs(self, b: int):
-        """Persistent per-bucket staging buffers — transient multi-MB allocations
-        re-fault pages on every call on TPU-VM hosts."""
-        if b not in self._stage:
-            idx = np.zeros((b,), np.int64)
-            slots = np.full((b,), -1, np.int32)
-            vals = np.zeros((b, self.embedding_dim), np.float32)
-            self._stage[b] = (idx, slots, vals)
-        return self._stage[b]
+        """FRESH per-chunk staging buffers. These must NOT be reused across
+        dispatches: ``jnp.array``/``device_put`` of a numpy buffer may defer or
+        zero-copy the host->device transfer (observed on the CPU backend), so a
+        reused buffer refilled for window k+1 can be read torn by window k's
+        still-pending scatter. Allocation cost is kept off the page-fault path
+        by hostops.tune_malloc (heap arena reuse instead of fresh mmaps)."""
+        idx = np.zeros((b,), np.int64)
+        slots = np.full((b,), -1, np.int32)
+        vals = np.zeros((b, self.embedding_dim), np.float32)
+        return idx, slots, vals
 
     def _drain_writebacks(self) -> None:
         """Synchronous full drain: all in-flight + pending writebacks land."""
@@ -513,21 +621,42 @@ class CachedEmbeddingBag:
         before checkpoint/eval snapshots (SURVEY.md §5 notes the reference implies
         this capability)."""
         self._drain_writebacks()
-        s2r = np.asarray(self.state.slot_to_row)
-        resident = np.nonzero(s2r >= 0)[0]
-        if resident.size == 0:
+        if self._dir is not None:
+            resident_slots, resident_rows = self._dir.resident()
+        else:
+            s2r = np.asarray(self.state.slot_to_row)
+            resident_slots = np.nonzero(s2r >= 0)[0]
+            resident_rows = s2r[resident_slots].astype(np.int64)
+        if resident_slots.size == 0:
             return
-        chunk = self.buffer_size if self.buffer_size > 0 else resident.size
+        n = resident_slots.size
+        chunk = self.buffer_size if self.buffer_size > 0 else n
         t0 = time.perf_counter()
-        for s in range(0, resident.size, chunk):
-            e = min(s + chunk, resident.size)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
             b = _bucket(e - s)
             slots_c = np.full((b,), -1, np.int32)
-            slots_c[: e - s] = resident[s:e]
+            slots_c[: e - s] = resident_slots[s:e]
             vals = np.asarray(gather_slots(self.cache_weight, jnp.asarray(slots_c)))
-            self.host_table.scatter(s2r[resident[s:e]], vals[: e - s])
-        self.stats.swap_out_bytes += resident.size * self.embedding_dim * 4
+            self.host_table.scatter(resident_rows[s:e], vals[: e - s])
+        self.stats.swap_out_bytes += n * self.embedding_dim * 4
         self.stats.swap_out_time += time.perf_counter() - t0
+
+    def reset_cache(self) -> None:
+        """Drop all cache contents/metadata and re-warm from the id-frequency
+        map (cache contents are derived state — used after checkpoint load)."""
+        self._drain_writebacks()
+        if self._dir is not None:
+            self._dir = make_directory(
+                self.num_embeddings, self.capacity, self.evict_strategy
+            )
+            if self._host_freq is not None and self.evict_strategy == EvictionStrategy.DATASET:
+                self._dir.set_dataset_freq(self._host_freq)
+        else:
+            self.state = init_cache_state(self.num_embeddings, self.capacity)
+        self.cache_weight = jnp.zeros_like(self.cache_weight)
+        if self._host_freq is not None:
+            self._warmup(0.7)
 
     @property
     def host_weight(self) -> np.ndarray:

@@ -27,6 +27,8 @@ class CacheConfig:
     use_overlap: bool = True           # --use_overlap: async host<->HBM row staging
     pin_weight: bool = True            # pin host weight (numpy is always "pinned" on TPU-VM)
     # TPU-specific knobs (no reference analog):
+    planner: str = "auto"              # "host" (native C++ directory) | "device"
+    # (jitted state machine) | "auto" — see cache/host_directory.py
     approx_evict: bool = False         # use approx_min_k for victim selection
     weight_init: str = "uniform"       # host table init: "uniform" | "zeros" | "virtual"
     transfer_dtype: str = "float32"    # host<->HBM row payload dtype ("bfloat16" halves traffic)
@@ -66,6 +68,11 @@ class DLRMConfig:
 
     # precision
     compute_dtype: str = "float32"     # dense tower matmul dtype ("bfloat16" for MXU speed)
+    dense_input_dtype: str = "bfloat16"  # host->device payload dtype of DENSE
+    # features (ids/labels are integral either way); inputs are upcast to
+    # compute_dtype on device. bfloat16 halves input-link bytes; the dense
+    # features are log-transformed counts where bf16's 8 mantissa bits are
+    # far below dataset noise (E2E AUROC parity is tested).
     use_sparse_embed_grad: bool = False  # --use_sparse_embed_grad: force scatter-add SGD
 
     cache: CacheConfig = dataclasses.field(default_factory=CacheConfig)

@@ -57,6 +57,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--use_overlap", action="store_true")
     p.add_argument("--prefetch_num", type=int, default=1)
     p.add_argument("--transfer_dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--planner", choices=["auto", "host", "device"], default="auto",
+                   help="cache planner: native host directory vs jitted device state machine")
     # parallelism
     p.add_argument("--use_tablewise", action="store_true")
     p.add_argument("--fused_op", choices=["all_to_all", "gather_scatter"], default="all_to_all")
@@ -106,6 +108,7 @@ def build_config(args):
         prefetch_num=args.prefetch_num,
         use_overlap=args.use_overlap,
         transfer_dtype=args.transfer_dtype,
+        planner=args.planner,
     )
     cfg = DLRMConfig(
         num_embeddings_per_feature=tables,

@@ -27,6 +27,7 @@ from typing import Iterable, List, Optional
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 
 from cachedembedding_tpu.cache.manager import CachedEmbeddingBag
@@ -113,6 +114,147 @@ def _train_step(
     return new_dense, new_cache, loss
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_features", "batch_size", "pooling", "mode", "compute_dtype_name",
+        "use_pallas", "sparse_grad",
+    ),
+    donate_argnames=("dense_params", "cache_weight"),
+)
+def _train_window_step(
+    dense_params: DLRMParams,
+    cache_weight: jnp.ndarray,
+    dense_feats: jnp.ndarray,   # (P, B, Din)
+    slot_values: jnp.ndarray,   # (P, L) cache-slot ids
+    labels: jnp.ndarray,        # (P, B)
+    sparse_lrs: jnp.ndarray,    # (P,)
+    dense_lrs: jnp.ndarray,     # (P,)
+    *,
+    num_features: int,
+    batch_size: int,
+    pooling: int,
+    mode: str,
+    compute_dtype_name: str,
+    use_pallas: bool,
+    sparse_grad: bool,
+):
+    """One ENTIRE prefetch window of SGD steps as a single ``lax.scan``.
+
+    Why: each PJRT execute/transfer costs real dispatch latency (tunneled links
+    especially), and a window at prefetch_num=8 would otherwise be ~50 host
+    round-trips. Fusing the window into one program is also what lets XLA keep
+    params/cache resident in HBM across steps with zero re-materialization. The
+    reference's prefetch pipeline trains the window as 8 separate CUDA-graph
+    launches (/root/reference/recsys/dlrm_main.py:264-279); this is its
+    compiled-once TPU equivalent."""
+    return _scan_window(
+        dense_params, cache_weight,
+        (dense_feats, slot_values, labels, sparse_lrs, dense_lrs),
+        num_features=num_features, batch_size=batch_size, pooling=pooling,
+        mode=mode, compute_dtype=jnp.dtype(compute_dtype_name),
+        use_pallas=use_pallas, sparse_grad=sparse_grad,
+    )
+
+
+def _scan_window(
+    dense_params, cache_weight, xs,
+    *, num_features, batch_size, pooling, mode, compute_dtype, use_pallas,
+    sparse_grad,
+):
+    def body(carry, xs):
+        dp, cw = carry
+        d, v, l, slr, dlr = xs
+        feats = RaggedFeatures(
+            values=v, offsets=None, num_features=num_features,
+            batch_size=batch_size, pooling=pooling,
+        )
+        if sparse_grad:
+            rows0 = jnp.take(cw, v, axis=0)
+
+            def loss_fn(dp_, rows):
+                F, B, P = num_features, batch_size, pooling
+                pooled = rows.reshape(F, B, P, -1).astype(jnp.float32)
+                pooled = pooled.sum(axis=2) if mode == "sum" else pooled.mean(axis=2)
+                sparse_bfd = jnp.transpose(pooled, (1, 0, 2))
+                logits = dlrm_dense_forward(dp_, d, sparse_bfd, compute_dtype)
+                return bce_with_logits(logits, l)
+
+            loss, (g_dense, g_rows) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+                dp, rows0
+            )
+            cw = cw.at[v].add((-slr * g_rows).astype(cw.dtype))
+        else:
+
+            def loss_fn(dp_, cw_):
+                sparse_bfd = embedding_bag(cw_, feats, mode=mode, use_pallas=use_pallas)
+                logits = dlrm_dense_forward(dp_, d, sparse_bfd, compute_dtype)
+                return bce_with_logits(logits, l)
+
+            loss, (g_dense, g_cache) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+                dp, cw
+            )
+            cw = cw - slr * g_cache
+        dp = jax.tree_util.tree_map(lambda p, g: p - dlr * g, dp, g_dense)
+        return (dp, cw), loss
+
+    (dense_params, cache_weight), losses = jax.lax.scan(
+        body, (dense_params, cache_weight), xs
+    )
+    return dense_params, cache_weight, losses
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "layout", "num_features", "batch_size", "pooling", "mode",
+        "compute_dtype_name", "use_pallas", "sparse_grad",
+    ),
+    donate_argnames=("dense_params", "cache_weight"),
+)
+def _train_window_packed(
+    dense_params: DLRMParams,
+    cache_weight: jnp.ndarray,
+    packed: jnp.ndarray,        # (total_bytes,) uint8 — ONE combined transfer
+    sparse_lrs: jnp.ndarray,    # (P,)
+    dense_lrs: jnp.ndarray,     # (P,)
+    *,
+    layout: tuple,              # (P, L, B, Din, dense_bf16: bool)
+    num_features: int,
+    batch_size: int,
+    pooling: int,
+    mode: str,
+    compute_dtype_name: str,
+    use_pallas: bool,
+    sparse_grad: bool,
+):
+    """Fused window step fed by ONE packed uint8 buffer.
+
+    Tunneled PJRT backends pay a link round-trip per device_put; packing
+    [slot_ids i32 | dense bf16/f32 | labels u8] into a single transfer cuts the
+    per-window host->device op count to one. Unpacking is three bitcasts on
+    device — free next to the matmuls."""
+    P, L, B, Din, dense_bf16 = layout
+    a = P * L * 4
+    dsize = 2 if dense_bf16 else 4
+    b = a + P * B * Din * dsize
+    slot_values = jax.lax.bitcast_convert_type(
+        packed[:a].reshape(P, L, 4), jnp.int32
+    )
+    dense_dt = jnp.bfloat16 if dense_bf16 else jnp.float32
+    dense_feats = jax.lax.bitcast_convert_type(
+        packed[a:b].reshape(P, B, Din, dsize), dense_dt
+    ).astype(jnp.float32)
+    labels = packed[b:].reshape(P, B).astype(jnp.float32)
+    return _scan_window(
+        dense_params, cache_weight,
+        (dense_feats, slot_values, labels, sparse_lrs, dense_lrs),
+        num_features=num_features, batch_size=batch_size, pooling=pooling,
+        mode=mode, compute_dtype=jnp.dtype(compute_dtype_name),
+        use_pallas=use_pallas, sparse_grad=sparse_grad,
+    )
+
+
 @partial(jax.jit, static_argnames=("mode", "compute_dtype_name", "use_pallas"))
 def _eval_step(
     dense_params: DLRMParams,
@@ -157,6 +299,7 @@ class CachedDLRMTrainer:
             table_sizes=cfg.num_embeddings_per_feature,
             seed=cfg.seed,
             approx_evict=cache_cfg.approx_evict,
+            planner=cache_cfg.planner,
             use_pallas_lookup=cache_cfg.use_pallas_lookup,
             weight_init=cache_cfg.weight_init,
             transfer_dtype=cache_cfg.transfer_dtype,
@@ -174,21 +317,58 @@ class CachedDLRMTrainer:
         self._step_idx = 0
 
     # ------------------------------------------------------------------
-    def _lrs(self, progress: float):
+    def _lrs(self, progress: float) -> tuple[float, float]:
         cfg = self.cfg
         lr = cfg.learning_rate
         if cfg.change_lr and progress >= cfg.lr_change_point:
             lr = cfg.lr_after
-        sparse_lr = jnp.asarray(lr, jnp.float32)
-        dense_lr = jnp.asarray(lr * self.data_parallel_size, jnp.float32)
-        return sparse_lr, dense_lr
+        return lr, lr * self.data_parallel_size
 
     def _begin_window(self, batches: List[Batch]):
-        """Dispatch the cache plan + remap for a window (device only; no row
-        movement yet). Returns (PreparedWindow, per-batch slot features)."""
-        all_ids = np.concatenate(
-            [np.asarray(b.sparse_features.values) for b in batches]
-        ).astype(np.int32)
+        """Plan the window's cache maintenance (host directory / device state
+        machine; no row movement yet). Returns (pw, window_input):
+          * uniform-pooling windows: window_input is the (P, L) device slot-id
+            array consumed whole by the fused window step;
+          * ragged windows: a per-batch list of slot-space RaggedFeatures for
+            the per-step fallback path."""
+        vals = [np.asarray(b.sparse_features.values) for b in batches]
+        f0 = batches[0].sparse_features
+        uniform = (
+            f0.pooling is not None
+            and all(
+                b.sparse_features.pooling == f0.pooling
+                and b.sparse_features.offsets is None
+                and b.sparse_features.num_features == f0.num_features
+                and b.sparse_features.batch_size == f0.batch_size
+                for b in batches
+            )
+            and len({v.shape[0] for v in vals}) == 1
+        )
+        all_ids = np.concatenate(vals).astype(np.int32)
+        if uniform:
+            P, L = len(batches), vals[0].shape[0]
+            pw = self.embed.begin_prepare(all_ids, out_shape=(P, L), device_put=False)
+            if isinstance(pw.slot_ids, np.ndarray):
+                # Host planner: pack the whole window's inputs into ONE
+                # host->device transfer (see _train_window_packed).
+                B, Din = f0.batch_size, self.cfg.dense_in_features
+                dense_bf16 = self.cfg.dense_input_dtype == "bfloat16"
+                ddt = ml_dtypes.bfloat16 if dense_bf16 else np.float32
+                dense = np.stack(
+                    [np.asarray(b.dense_features, ddt) for b in batches]
+                )
+                labels = np.stack(
+                    [np.asarray(b.labels).astype(np.uint8) for b in batches]
+                )
+                buf = np.concatenate([
+                    pw.slot_ids.reshape(-1).view(np.uint8),
+                    np.ascontiguousarray(dense).reshape(-1).view(np.uint8),
+                    labels.reshape(-1),
+                ])
+                buf_dev = jax.device_put(buf)
+                layout = (P, L, B, Din, dense_bf16)
+                return pw, ("packed", buf_dev, layout)
+            return pw, pw.slot_ids
         pw = self.embed.begin_prepare(all_ids)
         out: List[RaggedFeatures] = []
         off = 0
@@ -207,9 +387,56 @@ class CachedDLRMTrainer:
             off += n
         return pw, out
 
+    def _dispatch_window(
+        self, batches: List[Batch], window_input, progresses: List[float]
+    ) -> jnp.ndarray:
+        """Train one whole uniform window in a single fused device call.
+        Returns the (P,) per-step losses (device array, not yet read back)."""
+        cfg = self.cfg
+        f0 = batches[0].sparse_features
+        lrs = [self._lrs(p) for p in progresses]
+        sparse_lrs = jnp.asarray(np.asarray([a for a, _ in lrs], np.float32))
+        dense_lrs = jnp.asarray(np.asarray([b for _, b in lrs], np.float32))
+        common = dict(
+            num_features=f0.num_features,
+            batch_size=f0.batch_size,
+            pooling=f0.pooling,
+            mode=cfg.reduction_mode,
+            compute_dtype_name=cfg.compute_dtype,
+            use_pallas=cfg.cache.use_pallas_lookup,
+        )
+        if isinstance(window_input, tuple) and window_input[0] == "packed":
+            _, buf_dev, layout = window_input
+            L = layout[1]
+            sparse_grad = (
+                cfg.use_sparse_embed_grad or self.embed.capacity > 4 * L
+            ) and f0.pooling is not None
+            self.dense_params, new_cache, losses = _train_window_packed(
+                self.dense_params, self.embed.cache_weight, buf_dev,
+                sparse_lrs, dense_lrs, layout=layout, sparse_grad=sparse_grad,
+                **common,
+            )
+        else:
+            slot_vals = window_input
+            L = int(slot_vals.shape[1])
+            dense = np.stack([np.asarray(b.dense_features) for b in batches])
+            labels = np.stack([np.asarray(b.labels) for b in batches])
+            sparse_grad = (
+                cfg.use_sparse_embed_grad or self.embed.capacity > 4 * L
+            ) and f0.pooling is not None
+            self.dense_params, new_cache, losses = _train_window_step(
+                self.dense_params, self.embed.cache_weight, jnp.asarray(dense),
+                slot_vals, jnp.asarray(labels), sparse_lrs, dense_lrs,
+                sparse_grad=sparse_grad, **common,
+            )
+        self.embed.set_param(new_cache)
+        return losses
+
     def _dispatch_train(self, b: Batch, sf: RaggedFeatures, progress: float):
         cfg = self.cfg
-        sparse_lr, dense_lr = self._lrs(progress)
+        slr, dlr = self._lrs(progress)
+        sparse_lr = jnp.asarray(slr, jnp.float32)
+        dense_lr = jnp.asarray(dlr, jnp.float32)
         # Sparse-grad SGD (scatter-add of per-row grads) when the table is much
         # larger than the id stream — otherwise a dense (C, D) grad is cheaper.
         sparse_grad = (
@@ -253,7 +480,7 @@ class CachedDLRMTrainer:
         """
         cfg = self.cfg
         pn = max(1, cfg.cache.prefetch_num)
-        losses: List[jnp.ndarray] = []
+        loss_chunks: List[jnp.ndarray] = []  # (P,) device arrays per window
         it = iter(data)
         total = num_iters
         done = 0
@@ -276,43 +503,53 @@ class CachedDLRMTrainer:
         t0 = time.perf_counter()
         cur = fetch_window()
         if cur:
-            pw_cur, sf_cur = self._begin_window(cur)
+            pw_cur, sv_cur = self._begin_window(cur)
             self.embed.finish_prepare(pw_cur)
         while cur:
-            # Plan the NEXT window FIRST: the metadata-only plan lands in the
-            # device queue ahead of this window's train steps, so by the time
-            # finish_prepare reads it back the wait is the plan itself, not the
-            # whole window's compute.
+            # Dispatch this window's train steps FIRST (async, ONE fused device
+            # call for uniform windows) so the next window's transfers ride the
+            # link behind this window's execute instead of in front of it.
+            progresses = [
+                0.0 if total is None else (done + i) / max(total, 1)
+                for i in range(len(cur))
+            ]
+            if isinstance(sv_cur, list):  # ragged fallback: per-step dispatch
+                for b, sf, pg in zip(cur, sv_cur, progresses):
+                    loss_chunks.append(self._dispatch_train(b, sf, pg).reshape(1))
+            else:
+                loss_chunks.append(self._dispatch_window(cur, sv_cur, progresses))
+            examples += sum(b.batch_size for b in cur)
+            prev_done = done
+            done += len(cur)
+            self._step_idx += len(cur)
+            # Plan + stage the NEXT window while the device executes this one:
+            # the host directory plan, the packed input transfer, and the
+            # admit-row staging all overlap this window's compute.
             nxt = fetch_window()
             if nxt:
-                pw_nxt, sf_nxt = self._begin_window(nxt)
-            # Dispatch this window's train steps (async).
-            for b, sf in zip(cur, sf_cur):
-                progress = 0.0 if total is None else done / max(total, 1)
-                losses.append(self._dispatch_train(b, sf, progress))
-                examples += b.batch_size
-                done += 1
-                self._step_idx += 1
-                if log_every and done % log_every == 0:
-                    # NOTE: read as a (1,) array — 0-d readbacks are pathologically
-                    # slow on tunneled device links.
-                    loss_val = np.asarray(losses[-1].reshape(1))[0]
-                    print(
-                        f"it {done}: loss={loss_val:.5f} "
-                        f"hit_rate={self.embed.stats.hit_rate(window=pn):.4f}"
-                    )
-            # Stage the next window's rows while this window computes (the admit
-            # scatter lands on device between the two windows' train steps).
-            if nxt:
+                pw_nxt, sv_nxt = self._begin_window(nxt)
                 self.embed.finish_prepare(pw_nxt)
-                cur, sf_cur = nxt, sf_nxt
+            if log_every and done // log_every != prev_done // log_every:
+                # NOTE: read as a (1,) array — 0-d readbacks are pathologically
+                # slow on tunneled device links.
+                loss_val = np.asarray(loss_chunks[-1][-1:].reshape(1))[0]
+                print(
+                    f"it {done}: loss={loss_val:.5f} "
+                    f"hit_rate={self.embed.stats.hit_rate(window=pn):.4f}"
+                )
+            if nxt:
+                cur, sv_cur = nxt, sv_nxt
             else:
                 cur = []
-        if losses:
-            jax.block_until_ready(losses[-1])
+        if loss_chunks:
+            jax.block_until_ready(loss_chunks[-1])
         dt = time.perf_counter() - t0
         # single batched readback of all per-step losses (0-d reads are slow)
-        loss_list = [float(x) for x in np.asarray(jnp.stack(losses))] if losses else []
+        loss_list = (
+            [float(x) for x in np.asarray(jnp.concatenate(loss_chunks))]
+            if loss_chunks
+            else []
+        )
         return TrainReport(
             losses=loss_list,
             it_per_s=done / dt if dt > 0 else 0.0,

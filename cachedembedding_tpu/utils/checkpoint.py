@@ -117,13 +117,6 @@ def load_checkpoint(path: str, trainer) -> int:
             ht.scatter(ov["rows"], ov["vals"])
 
     # cache is derived state: re-warm it
-    trainer.embed.state = __import__(
-        "cachedembedding_tpu.cache.state", fromlist=["init_cache_state"]
-    ).init_cache_state(trainer.embed.num_embeddings, trainer.embed.capacity)
-    import jax.numpy as jnp
-
-    trainer.embed.cache_weight = jnp.zeros_like(trainer.embed.cache_weight)
-    if getattr(trainer.embed, "_host_freq", None) is not None:
-        trainer.embed._warmup(0.7)
+    trainer.embed.reset_cache()
     trainer._step_idx = meta["step"]
     return meta["step"]

@@ -11,6 +11,25 @@ from cachedembedding_tpu.cache.manager import CachedEmbeddingBag
 from cachedembedding_tpu.cache.state import EvictionStrategy, init_cache_state, plan_ids
 from cachedembedding_tpu.jagged import RaggedFeatures
 
+# Every test in this module runs under all three planners: the jitted device
+# state machine, the native C++ host directory, and the numpy fallback
+# directory (identical required semantics — see cache/host_directory.py).
+PLANNER = "device"
+
+
+@pytest.fixture(autouse=True, params=["device", "host", "pyhost"])
+def _planner(request, monkeypatch):
+    global PLANNER
+    if request.param == "pyhost":
+        import cachedembedding_tpu.cache.host_directory as hd
+
+        monkeypatch.setattr(hd.hostops, "native_available", lambda: False)
+        PLANNER = "host"
+    else:
+        PLANNER = request.param
+    yield
+    PLANNER = "device"
+
 
 def make_bag(N=64, D=8, C=16, strategy=EvictionStrategy.LFU, freq=None, warmup=0.0, **kw):
     w = np.arange(N * D, dtype=np.float32).reshape(N, D)
@@ -22,8 +41,16 @@ def make_bag(N=64, D=8, C=16, strategy=EvictionStrategy.LFU, freq=None, warmup=0
         ids_freq_mapping=freq,
         warmup_ratio=warmup,
         buffer_size=0,
+        planner=PLANNER,
         **kw,
     )
+
+
+def resident_set(bag):
+    """Rows currently resident in the cache, planner-agnostic."""
+    if bag._dir is not None:
+        return set(bag._dir.resident()[1].tolist())
+    return {r for r in np.asarray(bag.state.slot_to_row).tolist() if r >= 0}
 
 
 def lookup_rows(bag, ids):
@@ -50,7 +77,7 @@ class TestPrepareIds:
         lookup_rows(bag, [0, 1, 2, 3])         # fill
         out = lookup_rows(bag, [10, 11])       # evict two
         np.testing.assert_allclose(out, bag.host_weight[[10, 11]])
-        s2r = set(np.asarray(bag.state.slot_to_row).tolist())
+        s2r = resident_set(bag)
         assert {10, 11} <= s2r
         assert len(s2r) == 4
 
@@ -58,7 +85,7 @@ class TestPrepareIds:
         bag = make_bag(N=64, C=4, strategy=EvictionStrategy.LFU)
         lookup_rows(bag, [0, 0, 0, 1, 1, 2, 2, 3])  # freqs: 0->3, 1->2, 2->2, 3->1
         lookup_rows(bag, [9])                        # must evict row 3 (freq 1)
-        resident = set(np.asarray(bag.state.slot_to_row).tolist())
+        resident = resident_set(bag)
         assert 3 not in resident
         assert {0, 1, 2, 9} == resident
 
@@ -69,8 +96,7 @@ class TestPrepareIds:
         bag = make_bag(N=64, C=4, strategy=EvictionStrategy.DATASET, freq=freq)
         lookup_rows(bag, [0, 1, 2, 3])
         lookup_rows(bag, [9])  # evicts row 3 (dataset freq 1 < others)
-        resident = set(np.asarray(bag.state.slot_to_row).tolist())
-        assert resident == {0, 1, 2, 9}
+        assert resident_set(bag) == {0, 1, 2, 9}
 
     def test_protected_rows_not_evicted(self):
         bag = make_bag(N=64, C=4)
@@ -93,7 +119,7 @@ class TestPrepareIds:
         bag.set_param(jnp.asarray(cw))
         # force eviction of row 5 by filling with 4 hotter rows
         lookup_rows(bag, [1, 1, 2, 2, 3, 3, 4, 4])
-        assert 5 not in set(np.asarray(bag.state.slot_to_row).tolist())
+        assert 5 not in resident_set(bag)
         # writeback is deferred; it must land by the next drain point (flush or
         # the next prepare_ids)
         bag.flush()
@@ -117,8 +143,7 @@ class TestWarmup:
         freq = np.zeros(64, np.int64)
         freq[[10, 20, 30, 40]] = [9, 8, 7, 6]
         bag = make_bag(N=64, C=4, strategy=EvictionStrategy.DATASET, freq=freq, warmup=1.0)
-        resident = set(np.asarray(bag.state.slot_to_row).tolist())
-        assert resident == {10, 20, 30, 40}
+        assert resident_set(bag) == {10, 20, 30, 40}
         # hits on warm rows, no swaps
         out = lookup_rows(bag, [10, 20])
         np.testing.assert_allclose(out, bag.host_weight[[10, 20]])
@@ -127,9 +152,9 @@ class TestWarmup:
     def test_warmup_ratio_partial(self):
         freq = np.arange(64, dtype=np.int64)
         bag = make_bag(N=64, C=8, strategy=EvictionStrategy.DATASET, freq=freq, warmup=0.5)
-        resident = [r for r in np.asarray(bag.state.slot_to_row).tolist() if r >= 0]
+        resident = resident_set(bag)
         assert len(resident) == 4
-        assert set(resident) == {60, 61, 62, 63}
+        assert resident == {60, 61, 62, 63}
 
 
 class TestProperty:
