@@ -121,6 +121,45 @@ void* alloc_hugepage(uint64_t bytes) {
 
 void free_hugepage(void* p, uint64_t bytes) { munmap(p, bytes); }
 
+// Bit-pack non-negative int32 ids into a dense u8 stream for the host->device
+// input transfer (slot ids are < cache capacity, typically 19-21 bits, so
+// int32 wastes ~40% of the dominant transfer). width_bits in {16, 20, 24}:
+//   16 -> 2 bytes/id; 24 -> 3 bytes/id; 20 -> ids packed in PAIRS of 5 bytes
+//   (n must be even). Decode is a handful of vector shifts on device.
+void pack_ids_u8(const int32_t* ids, int64_t n, int64_t width_bits, uint8_t* out) {
+  if (width_bits == 16) {
+    parallel_for(n, 1 << 18, [=](int64_t lo, int64_t hi) {
+      for (int64_t i = lo; i < hi; ++i) {
+        const uint32_t v = static_cast<uint32_t>(ids[i]);
+        out[2 * i] = v & 0xFF;
+        out[2 * i + 1] = (v >> 8) & 0xFF;
+      }
+    });
+  } else if (width_bits == 24) {
+    parallel_for(n, 1 << 18, [=](int64_t lo, int64_t hi) {
+      for (int64_t i = lo; i < hi; ++i) {
+        const uint32_t v = static_cast<uint32_t>(ids[i]);
+        out[3 * i] = v & 0xFF;
+        out[3 * i + 1] = (v >> 8) & 0xFF;
+        out[3 * i + 2] = (v >> 16) & 0xFF;
+      }
+    });
+  } else {  // 20-bit pairs
+    const int64_t pairs = n / 2;
+    parallel_for(pairs, 1 << 17, [=](int64_t lo, int64_t hi) {
+      for (int64_t p = lo; p < hi; ++p) {
+        const uint32_t a = static_cast<uint32_t>(ids[2 * p]);
+        const uint32_t b = static_cast<uint32_t>(ids[2 * p + 1]);
+        out[5 * p] = a & 0xFF;
+        out[5 * p + 1] = (a >> 8) & 0xFF;
+        out[5 * p + 2] = ((a >> 16) & 0xF) | ((b & 0xF) << 4);
+        out[5 * p + 3] = (b >> 4) & 0xFF;
+        out[5 * p + 4] = (b >> 12) & 0xFF;
+      }
+    });
+  }
+}
+
 // out[id] += 1 for every id (single-threaded: bincount over int64 ids;
 // callers stream shards through this).
 void bincount_i32(const int64_t* ids, int64_t* out, int64_t n, int64_t num_rows) {
@@ -139,6 +178,58 @@ void bincount_i32(const int64_t* ids, int64_t* out, int64_t n, int64_t num_rows)
 // tests and benchmarks (materialized numpy tables remain the default for real
 // datasets).
 // ---------------------------------------------------------------------------
+
+// ---------------------------------------------------------------------------
+// Canonical procedural row init, shared bit-for-bit with the DEVICE-side
+// generator (cachedembedding_tpu/ops/synth_rows.py). Embedding init is a pure
+// function of (global row id, column, seed), which means a never-yet-trained
+// row never has to cross the host->device link at all — the device can
+// materialize it locally ("lazy device init"). Keep the three implementations
+// (this one, the overlay's, jnp's) in lockstep: 32-bit ops only.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline uint32_t mix32(uint32_t x) {
+  x ^= x >> 16;
+  x *= 0x7feb352dU;
+  x ^= x >> 15;
+  x *= 0x846ca68bU;
+  x ^= x >> 16;
+  return x;
+}
+
+// out[j] = U(-bound, bound) from hash(row, j, seed); exact f32 parity with the
+// device generator (no FMA: value computed as (h>>8)*scale then - bound, both
+// emitted as separate ops on either side).
+inline void gen_row_canonical(int64_t row_id, uint32_t seed, float bound,
+                              float* out, int64_t dim) {
+  const uint32_t h0 = mix32(static_cast<uint32_t>(row_id) * 0x9e3779b1U + seed);
+  const float scale = 2.0f * bound * (1.0f / 16777216.0f);
+  for (int64_t j = 0; j < dim; ++j) {
+    const uint32_t h = mix32(h0 ^ (static_cast<uint32_t>(j) * 0x85ebca77U + 1U));
+    const float v = static_cast<float>(h >> 8) * scale;
+    out[j] = v - bound;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Initialize rows [start_row, start_row + n) of a table slab with the
+// canonical generator (multithreaded). Used for materialized host tables so
+// that dense and virtual tables (and the device) agree on every init value.
+void fill_rows_canonical(float* buf, int64_t start_row, int64_t n, int64_t dim,
+                         uint32_t seed, float bound) {
+  parallel_for(n, 1 << 14, [=](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      gen_row_canonical(start_row + i, seed, bound, buf + i * dim, dim);
+    }
+  });
+}
+
+}  // extern "C"
 
 namespace {
 
@@ -188,18 +279,6 @@ void overlay_grow(Overlay& t) {
   t = std::move(bigger);
 }
 
-// deterministic procedural row: U(-bound, bound) per element
-inline void gen_row(int64_t row_id, uint64_t seed, float bound, float* out, int64_t dim) {
-  uint64_t s = mix64(static_cast<uint64_t>(row_id) * 0x9e3779b97f4a7c15ULL + seed);
-  const float scale = 2.0f * bound * (1.0f / 16777216.0f);
-  for (int64_t j = 0; j < dim; ++j) {
-    s ^= s << 13;
-    s ^= s >> 7;
-    s ^= s << 17;
-    out[j] = static_cast<float>(s >> 40) * scale - bound;
-  }
-}
-
 }  // namespace
 
 void* overlay_create(int64_t dim, uint64_t seed, int64_t capacity_hint) {
@@ -228,8 +307,17 @@ void overlay_gather_f32(void* h, const int64_t* ids, const float* bounds,
     if (t.keys[s] == ids[i]) {
       std::memcpy(out + i * t.dim, &t.rows[s * t.dim], t.dim * sizeof(float));
     } else {
-      gen_row(ids[i], t.seed, bounds[i], out + i * t.dim, t.dim);
+      gen_row_canonical(ids[i], static_cast<uint32_t>(t.seed), bounds[i],
+                        out + i * t.dim, t.dim);
     }
+  }
+}
+
+// out[i] = 1 if ids[i] has been written (lives in the overlay), else 0.
+void overlay_contains(void* h, const int64_t* ids, uint8_t* out, int64_t n) {
+  Overlay& t = *static_cast<Overlay*>(h);
+  for (int64_t i = 0; i < n; ++i) {
+    out[i] = t.keys[probe(t, ids[i])] == ids[i] ? 1 : 0;
   }
 }
 

@@ -60,6 +60,13 @@ def _load_lib():
         lib.bincount_i32.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.pack_ids_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.fill_rows_canonical.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint32, ctypes.c_float,
+        ]
         lib.alloc_hugepage.argtypes = [ctypes.c_uint64]
         lib.alloc_hugepage.restype = ctypes.c_void_p
         lib.free_hugepage.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
@@ -133,6 +140,97 @@ def fill_uniform(buf: np.ndarray, low: float, high: float, seed: int) -> None:
     for i in range(0, flat.shape[0], chunk):
         n = min(chunk, flat.shape[0] - i)
         flat[i : i + n] = rng.uniform(low, high, size=n).astype(np.float32)
+
+
+def _mix32_np(x: np.ndarray) -> np.ndarray:
+    """numpy mirror of the canonical 32-bit hash (gen_row_canonical in
+    hostops.cpp and ops/synth_rows.py — keep all three in lockstep)."""
+    x = x.astype(np.uint32)
+    x ^= x >> np.uint32(16)
+    x *= np.uint32(0x7FEB352D)
+    x ^= x >> np.uint32(15)
+    x *= np.uint32(0x846CA68B)
+    x ^= x >> np.uint32(16)
+    return x
+
+
+def gen_rows_canonical(rows: np.ndarray, seed: int, bounds: np.ndarray, dim: int) -> np.ndarray:
+    """(n, dim) canonical procedural init rows — numpy reference/fallback."""
+    with np.errstate(over="ignore"):
+        h0 = _mix32_np(
+            rows.astype(np.uint32) * np.uint32(0x9E3779B1) + np.uint32(seed)
+        )
+        j = (
+            np.arange(dim, dtype=np.uint32) * np.uint32(0x85EBCA77) + np.uint32(1)
+        )
+        h = _mix32_np(h0[:, None] ^ j[None, :])
+    scale = (2.0 * bounds.astype(np.float32) * np.float32(1.0 / 16777216.0)).astype(np.float32)
+    v = (h >> np.uint32(8)).astype(np.float32) * scale[:, None]
+    return v - bounds.astype(np.float32)[:, None]
+
+
+def fill_rows_canonical(buf: np.ndarray, start_row: int, seed: int, bound: float) -> None:
+    """Init rows [start_row, start_row+len(buf)) of a float32 table slab with
+    the canonical generator (device-reproducible; see gen_row_canonical)."""
+    lib = _load_lib()
+    n, dim = buf.shape
+    if lib is not None and buf.dtype == np.float32 and buf.flags.c_contiguous:
+        lib.fill_rows_canonical(
+            buf.ctypes.data, start_row, n, dim,
+            ctypes.c_uint32(seed & 0xFFFFFFFF), ctypes.c_float(bound),
+        )
+        return
+    chunk = max(1, (1 << 22) // dim)
+    for i in range(0, n, chunk):
+        e = min(i + chunk, n)
+        rows = np.arange(start_row + i, start_row + e, dtype=np.int64)
+        buf[i:e] = gen_rows_canonical(
+            rows, seed, np.full(e - i, bound, np.float32), dim
+        )
+
+
+def id_pack_width(max_id_exclusive: int, n: int) -> int:
+    """Smallest supported pack width (bits) for ids in [0, max_id_exclusive).
+    Returns 16, 20, 24 or 32 (= don't pack). 20-bit packs ids in pairs, so it
+    needs an even count."""
+    if max_id_exclusive <= (1 << 16):
+        return 16
+    if max_id_exclusive <= (1 << 20) and n % 2 == 0:
+        return 20
+    if max_id_exclusive <= (1 << 24):
+        return 24
+    return 32
+
+
+def pack_ids(ids: np.ndarray, width_bits: int) -> np.ndarray:
+    """Bit-pack non-negative int32 ids to a u8 stream (see pack_ids_u8)."""
+    ids = np.ascontiguousarray(ids.reshape(-1), np.int32)
+    n = ids.shape[0]
+    nbytes = {16: 2 * n, 20: 5 * (n // 2), 24: 3 * n}[width_bits]
+    out = np.empty((nbytes,), np.uint8)
+    lib = _load_lib()
+    if lib is not None:
+        lib.pack_ids_u8(ids.ctypes.data, n, width_bits, out.ctypes.data)
+        return out
+    u = ids.astype(np.uint32)
+    if width_bits == 16:
+        b = out.reshape(n, 2)
+        b[:, 0] = u & 0xFF
+        b[:, 1] = (u >> 8) & 0xFF
+    elif width_bits == 24:
+        b = out.reshape(n, 3)
+        b[:, 0] = u & 0xFF
+        b[:, 1] = (u >> 8) & 0xFF
+        b[:, 2] = (u >> 16) & 0xFF
+    else:
+        a0, a1 = u[0::2], u[1::2]
+        b = out.reshape(n // 2, 5)
+        b[:, 0] = a0 & 0xFF
+        b[:, 1] = (a0 >> 8) & 0xFF
+        b[:, 2] = ((a0 >> 16) & 0xF) | ((a1 & 0xF) << 4)
+        b[:, 3] = (a1 >> 4) & 0xFF
+        b[:, 4] = (a1 >> 12) & 0xFF
+    return out
 
 
 def bincount(ids: np.ndarray, num_rows: int, out: np.ndarray | None = None) -> np.ndarray:

@@ -1,15 +1,21 @@
 """Host-DRAM master tables behind the cache.
 
-Two implementations of one protocol (gather/scatter/num_rows/dim):
+Two implementations of one protocol (gather/scatter/num_rows/dim, plus the
+lazy-device-init hooks written_mask/row_bounds/seed):
 
   * ``DenseHostTable`` — a materialized numpy array (hugepage-backed via the
     native allocator). The default for real datasets; what the reference does
     with its pinned CPU weight (/root/reference/benchmark/benchmark_fbgemm_uvm.py:104).
-  * ``VirtualHostTable`` — rows are generated procedurally (deterministic per-row
-    RNG, per-table uniform bounds) until first written back, after which they live
-    in a native hash-table overlay. Host memory = touched working set only, so a
-    logical 91 GB Criteo-1TB table (README.md:11) runs on any TPU-VM — used by
-    benchmarks and capacity tests.
+    When constructed with procedural metadata (the canonical per-row init),
+    it tracks which rows have been written back so the cache can synthesize
+    never-trained rows ON DEVICE instead of transferring them
+    (ops/synth_rows.py).
+  * ``VirtualHostTable`` — rows are generated procedurally (same canonical
+    generator) until first written back, after which they live in a native
+    hash-table overlay. Host memory = touched working set only, so a logical
+    91 GB Criteo-1TB table (README.md:11) runs on any TPU-VM — used by
+    benchmarks and capacity tests. Written-row tracking is the overlay's
+    membership itself.
 """
 
 from __future__ import annotations
@@ -22,10 +28,42 @@ import numpy as np
 from cachedembedding_tpu._native import hostops
 
 
+def table_bounds(table_sizes: Sequence[int]) -> np.ndarray:
+    """Per-table U(-1/sqrt(n), 1/sqrt(n)) init bound (torchrec EmbeddingBagConfig
+    default, used by the reference models' EBC path)."""
+    return (np.asarray(table_sizes, np.float64) ** -0.5).astype(np.float32)
+
+
+def row_bounds_of(table_offsets: np.ndarray, bounds: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    table = np.searchsorted(table_offsets, idx, side="right") - 1
+    return bounds[np.clip(table, 0, len(bounds) - 1)]
+
+
 class DenseHostTable:
-    def __init__(self, array: np.ndarray):
+    def __init__(
+        self,
+        array: np.ndarray,
+        *,
+        procedural_seed: Optional[int] = None,
+        table_sizes: Optional[Sequence[int]] = None,
+    ):
         assert array.ndim == 2
         self.array = array
+        self.seed = procedural_seed
+        if procedural_seed is not None:
+            assert table_sizes is not None
+            self.table_sizes = np.asarray(table_sizes, np.int64)
+            self.table_offsets = np.concatenate([[0], np.cumsum(self.table_sizes)])
+            self._bounds = table_bounds(table_sizes)
+            # Rows whose host value differs from the canonical init (i.e. ever
+            # written back). bool per row: 1 byte/row host DRAM.
+            self._written = np.zeros((array.shape[0],), np.bool_)
+        else:
+            self._written = None
+
+    @property
+    def supports_device_init(self) -> bool:
+        return self._written is not None
 
     @property
     def num_rows(self) -> int:
@@ -40,6 +78,20 @@ class DenseHostTable:
 
     def scatter(self, idx: np.ndarray, vals: np.ndarray) -> None:
         hostops.scatter_rows(self.array, idx, vals)
+        if self._written is not None:
+            self._written[idx] = True
+
+    def written_mask(self, idx: np.ndarray) -> np.ndarray:
+        return self._written[idx]
+
+    def row_bounds(self, idx: np.ndarray) -> np.ndarray:
+        return row_bounds_of(self.table_offsets, self._bounds, idx)
+
+    def mark_all_written(self) -> None:
+        """After restoring arbitrary values (checkpoint load), no row can be
+        assumed to still hold its canonical init."""
+        if self._written is not None:
+            self._written[:] = True
 
 
 class VirtualHostTable:
@@ -55,8 +107,7 @@ class VirtualHostTable:
         self._num_rows = int(self.table_sizes.sum())
         self._dim = int(dim)
         self.seed = seed
-        # per-table U(-1/sqrt(n), 1/sqrt(n)) init bound (torchrec default)
-        self._bounds = (self.table_sizes.astype(np.float64) ** -0.5).astype(np.float32)
+        self._bounds = table_bounds(table_sizes)
         lib = hostops._load_lib()
         if lib is None:
             raise RuntimeError(
@@ -66,6 +117,8 @@ class VirtualHostTable:
         self._lib = lib
         self._ensure_proto()
         self._h = lib.overlay_create(dim, seed, capacity_hint)
+
+    supports_device_init = True
 
     @classmethod
     def _ensure_proto(cls):
@@ -84,6 +137,9 @@ class VirtualHostTable:
         lib.overlay_scatter_f32.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.overlay_contains.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
         lib.overlay_keys.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib._overlay_proto_done = True
 
@@ -99,15 +155,14 @@ class VirtualHostTable:
     def overlay_rows(self) -> int:
         return int(self._lib.overlay_used(self._h))
 
-    def _row_bounds(self, idx: np.ndarray) -> np.ndarray:
-        table = np.searchsorted(self.table_offsets, idx, side="right") - 1
-        return self._bounds[np.clip(table, 0, len(self._bounds) - 1)]
+    def row_bounds(self, idx: np.ndarray) -> np.ndarray:
+        return row_bounds_of(self.table_offsets, self._bounds, idx)
 
     def gather(self, idx: np.ndarray, out: Optional[np.ndarray] = None) -> np.ndarray:
         idx = np.ascontiguousarray(idx, np.int64)
         if out is None:
             out = np.empty((idx.shape[0], self._dim), np.float32)
-        bounds = np.ascontiguousarray(self._row_bounds(idx), np.float32)
+        bounds = np.ascontiguousarray(self.row_bounds(idx), np.float32)
         self._lib.overlay_gather_f32(
             self._h, idx.ctypes.data, bounds.ctypes.data, out.ctypes.data, idx.shape[0]
         )
@@ -118,6 +173,18 @@ class VirtualHostTable:
         vals = np.ascontiguousarray(vals, np.float32)
         self._lib.overlay_scatter_f32(
             self._h, idx.ctypes.data, vals.ctypes.data, idx.shape[0]
+        )
+
+    def written_mask(self, idx: np.ndarray) -> np.ndarray:
+        idx = np.ascontiguousarray(idx, np.int64)
+        out = np.empty((idx.shape[0],), np.uint8)
+        self._lib.overlay_contains(self._h, idx.ctypes.data, out.ctypes.data, idx.shape[0])
+        return out.astype(np.bool_)
+
+    def mark_all_written(self) -> None:
+        raise NotImplementedError(
+            "VirtualHostTable tracks written rows exactly; mark_all_written "
+            "would defeat its memory model"
         )
 
     def written_rows(self) -> np.ndarray:

@@ -32,6 +32,10 @@ class CacheConfig:
     approx_evict: bool = False         # use approx_min_k for victim selection
     weight_init: str = "uniform"       # host table init: "uniform" | "zeros" | "virtual"
     transfer_dtype: str = "float32"    # host<->HBM row payload dtype ("bfloat16" halves traffic)
+    cache_dtype: str = "bfloat16"      # HBM cache-row storage dtype. bf16 rows
+    # gather 4x faster on TPU (256B rows hit XLA's vectorized gather) and halve
+    # cache HBM; the host master table stays float32, update arithmetic runs in
+    # f32 with one rounding per step, and pooling accumulates in f32.
     use_pallas_lookup: bool = False    # Pallas gather+pool kernel vs XLA take/segment-sum
 
 

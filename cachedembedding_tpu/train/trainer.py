@@ -97,7 +97,7 @@ def _train_step(
             dense_params, rows0
         )
         new_cache = cache_weight.at[slot_features.values].add(
-            (-sparse_lr * g_rows).astype(cache_weight.dtype)
+            (-sparse_lr * g_rows.astype(jnp.float32)).astype(cache_weight.dtype)
         )
     else:
 
@@ -109,7 +109,9 @@ def _train_step(
         loss, (g_dense, g_cache) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
             dense_params, cache_weight
         )
-        new_cache = cache_weight - sparse_lr * g_cache
+        new_cache = (
+            cache_weight.astype(jnp.float32) - sparse_lr * g_cache.astype(jnp.float32)
+        ).astype(cache_weight.dtype)
     new_dense = jax.tree_util.tree_map(lambda p, g: p - dense_lr * g, dense_params, g_dense)
     return new_dense, new_cache, loss
 
@@ -183,7 +185,7 @@ def _scan_window(
             loss, (g_dense, g_rows) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
                 dp, rows0
             )
-            cw = cw.at[v].add((-slr * g_rows).astype(cw.dtype))
+            cw = cw.at[v].add((-slr * g_rows.astype(jnp.float32)).astype(cw.dtype))
         else:
 
             def loss_fn(dp_, cw_):
@@ -194,7 +196,10 @@ def _scan_window(
             loss, (g_dense, g_cache) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
                 dp, cw
             )
-            cw = cw - slr * g_cache
+            # update arithmetic in f32, ONE rounding back to the storage dtype
+            cw = (
+                cw.astype(jnp.float32) - slr * g_cache.astype(jnp.float32)
+            ).astype(cw.dtype)
         dp = jax.tree_util.tree_map(lambda p, g: p - dlr * g, dp, g_dense)
         return (dp, cw), loss
 
@@ -202,6 +207,27 @@ def _scan_window(
         body, (dense_params, cache_weight), xs
     )
     return dense_params, cache_weight, losses
+
+
+def _unpack_ids(b: jnp.ndarray, P: int, L: int, width: int) -> jnp.ndarray:
+    """Decode the host-side bit-packing (hostops.pack_ids) back to (P, L) int32
+    slot ids — a handful of VPU shift/or ops, free next to the step's matmuls.
+    Slot ids are < cache capacity (19-21 bits typically), so shipping them at
+    16/20/24 bits cuts the dominant input-transfer bytes by 2x/1.6x/1.33x."""
+    if width == 32:
+        return jax.lax.bitcast_convert_type(b.reshape(P, L, 4), jnp.int32)
+    u = b.astype(jnp.int32)
+    if width == 16:
+        u = u.reshape(P, L, 2)
+        return u[..., 0] | (u[..., 1] << 8)
+    if width == 24:
+        u = u.reshape(P, L, 3)
+        return u[..., 0] | (u[..., 1] << 8) | (u[..., 2] << 16)
+    # 20-bit pairs: 2 ids in 5 bytes
+    u = u.reshape(P, L // 2, 5)
+    id0 = u[..., 0] | (u[..., 1] << 8) | ((u[..., 2] & 0xF) << 16)
+    id1 = (u[..., 2] >> 4) | (u[..., 3] << 4) | (u[..., 4] << 12)
+    return jnp.stack([id0, id1], axis=-1).reshape(P, L)
 
 
 @partial(
@@ -219,7 +245,7 @@ def _train_window_packed(
     sparse_lrs: jnp.ndarray,    # (P,)
     dense_lrs: jnp.ndarray,     # (P,)
     *,
-    layout: tuple,              # (P, L, B, Din, dense_bf16: bool)
+    layout: tuple,              # (P, L, B, Din, dense_bf16: bool, id_width_bits)
     num_features: int,
     batch_size: int,
     pooling: int,
@@ -234,13 +260,11 @@ def _train_window_packed(
     [slot_ids i32 | dense bf16/f32 | labels u8] into a single transfer cuts the
     per-window host->device op count to one. Unpacking is three bitcasts on
     device — free next to the matmuls."""
-    P, L, B, Din, dense_bf16 = layout
-    a = P * L * 4
+    P, L, B, Din, dense_bf16, id_width = layout
+    a = P * ({16: 2 * L, 20: 5 * (L // 2), 24: 3 * L, 32: 4 * L}[id_width])
     dsize = 2 if dense_bf16 else 4
     b = a + P * B * Din * dsize
-    slot_values = jax.lax.bitcast_convert_type(
-        packed[:a].reshape(P, L, 4), jnp.int32
-    )
+    slot_values = _unpack_ids(packed[:a], P, L, id_width)
     dense_dt = jnp.bfloat16 if dense_bf16 else jnp.float32
     dense_feats = jax.lax.bitcast_convert_type(
         packed[a:b].reshape(P, B, Din, dsize), dense_dt
@@ -298,6 +322,7 @@ class CachedDLRMTrainer:
             ),
             table_sizes=cfg.num_embeddings_per_feature,
             seed=cfg.seed,
+            dtype=jnp.dtype(cache_cfg.cache_dtype),
             approx_evict=cache_cfg.approx_evict,
             planner=cache_cfg.planner,
             use_pallas_lookup=cache_cfg.use_pallas_lookup,
@@ -360,13 +385,21 @@ class CachedDLRMTrainer:
                 labels = np.stack(
                     [np.asarray(b.labels).astype(np.uint8) for b in batches]
                 )
+                from cachedembedding_tpu._native import hostops
+
+                id_width = hostops.id_pack_width(self.embed.capacity, L)
+                ids_bytes = (
+                    pw.slot_ids.reshape(-1).view(np.uint8)
+                    if id_width == 32
+                    else hostops.pack_ids(pw.slot_ids, id_width)
+                )
                 buf = np.concatenate([
-                    pw.slot_ids.reshape(-1).view(np.uint8),
+                    ids_bytes,
                     np.ascontiguousarray(dense).reshape(-1).view(np.uint8),
                     labels.reshape(-1),
                 ])
                 buf_dev = jax.device_put(buf)
-                layout = (P, L, B, Din, dense_bf16)
+                layout = (P, L, B, Din, dense_bf16, id_width)
                 return pw, ("packed", buf_dev, layout)
             return pw, pw.slot_ids
         pw = self.embed.begin_prepare(all_ids)

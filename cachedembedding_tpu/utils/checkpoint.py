@@ -110,6 +110,9 @@ def load_checkpoint(path: str, trainer) -> int:
         arr = np.load(os.path.join(path, "host_table.npy"), mmap_mode="r")
         assert isinstance(ht, DenseHostTable)
         np.copyto(ht.array, arr)
+        if ht.supports_device_init:
+            # restored values are arbitrary — no row still holds its init
+            ht.mark_all_written()
     else:
         ov = np.load(os.path.join(path, "overlay.npz"))
         assert isinstance(ht, VirtualHostTable)

@@ -73,3 +73,24 @@ def test_lfu_vs_dataset_both_train():
         trainer = CachedDLRMTrainer(cfg, id_freq_map=freq)
         report = trainer.train(data, num_iters=6)
         assert np.isfinite(report.losses).all()
+
+
+def test_packed_window_matches_device_planner():
+    """The packed single-transfer window path (host planner) must train
+    numerically identically to the device planner's unpacked per-window path —
+    pack/unpack and planner choice are pure plumbing."""
+    tables = [700, 300]
+    runs = []
+    for planner in ("host", "device"):
+        cfg = _cfg(tables, prefetch_num=2, use_lfu_eviction=True, use_freq=False)
+        cfg.cache.cache_ratio = 0.9
+        cfg.cache.planner = planner
+        data = SyntheticLongTailDataset(
+            tables, cfg.batch_size, num_batches=6, dense_in_features=4, seed=13
+        )
+        trainer = CachedDLRMTrainer(cfg)
+        if planner == "host":
+            assert trainer.embed._dir is not None
+        report = trainer.train(data, num_iters=6)
+        runs.append(report.losses)
+    np.testing.assert_allclose(runs[0], runs[1], rtol=2e-5)
