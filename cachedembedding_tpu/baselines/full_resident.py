@@ -61,8 +61,13 @@ class FullyResidentEmbeddingBag:
         self.cache_op = True
 
     # trainer protocol ------------------------------------------------------
-    def begin_prepare(self, ids) -> _NullWindow:
-        return _NullWindow(slot_ids=jnp.asarray(ids, jnp.int32))
+    def begin_prepare(self, ids, out_shape=None, device_put=True) -> _NullWindow:
+        ids_np = np.ascontiguousarray(np.asarray(ids), np.int32)
+        if out_shape is not None:
+            ids_np = ids_np.reshape(out_shape)
+        return _NullWindow(
+            slot_ids=jnp.asarray(ids_np) if device_put else ids_np
+        )
 
     def finish_prepare(self, pw) -> None:
         pass

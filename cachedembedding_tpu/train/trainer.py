@@ -533,11 +533,13 @@ class CachedDLRMTrainer:
             fetched += len(window)
             return window
 
+        annotate = jax.profiler.TraceAnnotation  # record_function analog
         t0 = time.perf_counter()
         cur = fetch_window()
         if cur:
-            pw_cur, sv_cur = self._begin_window(cur)
-            self.embed.finish_prepare(pw_cur)
+            with annotate("cache_prepare"):
+                pw_cur, sv_cur = self._begin_window(cur)
+                self.embed.finish_prepare(pw_cur)
         while cur:
             # Dispatch this window's train steps FIRST (async, ONE fused device
             # call for uniform windows) so the next window's transfers ride the
@@ -546,11 +548,12 @@ class CachedDLRMTrainer:
                 0.0 if total is None else (done + i) / max(total, 1)
                 for i in range(len(cur))
             ]
-            if isinstance(sv_cur, list):  # ragged fallback: per-step dispatch
-                for b, sf, pg in zip(cur, sv_cur, progresses):
-                    loss_chunks.append(self._dispatch_train(b, sf, pg).reshape(1))
-            else:
-                loss_chunks.append(self._dispatch_window(cur, sv_cur, progresses))
+            with annotate("train_window_dispatch"):
+                if isinstance(sv_cur, list):  # ragged fallback: per-step dispatch
+                    for b, sf, pg in zip(cur, sv_cur, progresses):
+                        loss_chunks.append(self._dispatch_train(b, sf, pg).reshape(1))
+                else:
+                    loss_chunks.append(self._dispatch_window(cur, sv_cur, progresses))
             examples += sum(b.batch_size for b in cur)
             prev_done = done
             done += len(cur)
@@ -560,8 +563,9 @@ class CachedDLRMTrainer:
             # admit-row staging all overlap this window's compute.
             nxt = fetch_window()
             if nxt:
-                pw_nxt, sv_nxt = self._begin_window(nxt)
-                self.embed.finish_prepare(pw_nxt)
+                with annotate("cache_prepare"):
+                    pw_nxt, sv_nxt = self._begin_window(nxt)
+                    self.embed.finish_prepare(pw_nxt)
             if log_every and done // log_every != prev_done // log_every:
                 # NOTE: read as a (1,) array — 0-d readbacks are pathologically
                 # slow on tunneled device links.
