@@ -102,6 +102,23 @@ class HostPreparedWindow(NamedTuple):
     hplan: HostPlan
 
 
+class WindowStaging(NamedTuple):
+    """Everything the fused window program needs to make this window's rows
+    resident, as host arrays ready to be packed into the SINGLE input
+    transfer (trainer packed path): bucketed synth admits (device-generated)
+    and fetched admits (host-table rows). Produced by begin_window_staging;
+    the matching eviction writebacks are enqueued by enqueue_writebacks."""
+
+    slot_ids: np.ndarray      # (P, L) int32 remapped ids
+    synth_slots: np.ndarray   # (sb,) int32, -1 padded; sb == 0 when none
+    synth_rows: np.ndarray    # (sb,) int32
+    synth_bounds: np.ndarray  # (sb,) float32
+    fetch_slots: np.ndarray   # (fb,) int32, -1 padded; fb == 0 when none
+    fetch_payload: np.ndarray  # (fb, D) in the transfer dtype
+    admit_slots: np.ndarray   # (n_miss,) full plan arrays for the writebacks
+    evict_rows: np.ndarray    # (n_miss,)
+
+
 def _bucket(n: int, lo: int = 2048) -> int:
     """Round a transfer size up to a power-of-two bucket: distinct shapes cost a
     (remote) XLA compile each, but padding costs real transfer bytes on a link
@@ -514,6 +531,105 @@ class CachedEmbeddingBag:
             )
             self.stats.swap_in_bytes += (e - s) * self.embedding_dim * 4
             self.stats.swap_in_time += time.perf_counter() - t0
+        self.stats.num_write_back_history.append(n_wb)
+        self._submit_writebacks()
+
+    # -- staged window API (fused-program admits; trainer packed path) --------
+    def begin_window_staging(self, ids, out_shape) -> WindowStaging:
+        """Plan a window and prepare its admits as PACKABLE host arrays: the
+        trainer folds them into the window program's single input transfer and
+        the program itself lands the rows (synth + fetched scatters) before
+        its train steps — steady state is ONE device_put + ONE execute per
+        window. Caller must also call enqueue_writebacks(ws) after dispatching
+        the PREVIOUS window (and before dispatching this one)."""
+        assert self._dir is not None, "staged windows require the host planner"
+        ids_np = np.ascontiguousarray(np.asarray(ids), dtype=np.int32)
+        hp = self._dir.plan(ids_np)
+        self.stats.prepare_calls += 1
+        self.stats.num_hits_history.append(hp.n_hit_unique)
+        n_miss = int(hp.admit_rows.shape[0])
+        self.stats.num_miss_history.append(n_miss)
+        empty_i = np.zeros((0,), np.int32)
+        empty_f = np.zeros((0,), np.float32)
+        pay_dt = ml_dtypes.bfloat16 if self._transfer_bf16 else np.float32
+        if n_miss == 0:
+            return WindowStaging(
+                slot_ids=hp.slot_ids.reshape(out_shape),
+                synth_slots=empty_i, synth_rows=empty_i, synth_bounds=empty_f,
+                fetch_slots=empty_i,
+                fetch_payload=np.zeros((0, self.embedding_dim), pay_dt),
+                admit_slots=hp.admit_slots, evict_rows=hp.evict_rows,
+            )
+        if self.device_init:
+            with self._host_lock:
+                written = self.host_table.written_mask(hp.admit_rows)
+        else:
+            written = np.ones((n_miss,), np.bool_)
+        n_fresh = int(n_miss - written.sum())
+        if n_fresh:
+            sb = _bucket(n_fresh, lo=1024)
+            synth_slots = np.full((sb,), -1, np.int32)
+            synth_rows = np.zeros((sb,), np.int32)
+            synth_bounds = np.zeros((sb,), np.float32)
+            f_rows = hp.admit_rows[~written]
+            synth_slots[:n_fresh] = hp.admit_slots[~written]
+            synth_rows[:n_fresh] = f_rows
+            synth_bounds[:n_fresh] = self.host_table.row_bounds(f_rows)
+            self.stats.synth_rows += n_fresh
+        else:
+            synth_slots, synth_rows, synth_bounds = empty_i, empty_i, empty_f
+        n_fetch = n_miss - n_fresh
+        if n_fetch:
+            w_rows = hp.admit_rows[written]
+            # trained rows may still be in flight on the writeback thread
+            self._ensure_clean(w_rows, block=False)
+            fb = _bucket(n_fetch, lo=1024)
+            fetch_slots = np.full((fb,), -1, np.int32)
+            fetch_slots[:n_fetch] = hp.admit_slots[written]
+            rows_c = np.zeros((fb,), np.int64)
+            rows_c[:n_fetch] = w_rows
+            t0 = time.perf_counter()
+            with self._host_lock:
+                vals = self.host_table.gather(rows_c)
+            fetch_payload = vals.astype(pay_dt) if vals.dtype != pay_dt else vals
+            self.stats.swap_in_bytes += n_fetch * self.embedding_dim * 4
+            self.stats.swap_in_time += time.perf_counter() - t0
+        else:
+            fetch_slots = empty_i
+            fetch_payload = np.zeros((0, self.embedding_dim), pay_dt)
+        return WindowStaging(
+            slot_ids=hp.slot_ids.reshape(out_shape),
+            synth_slots=synth_slots, synth_rows=synth_rows,
+            synth_bounds=synth_bounds, fetch_slots=fetch_slots,
+            fetch_payload=fetch_payload,
+            admit_slots=hp.admit_slots, evict_rows=hp.evict_rows,
+        )
+
+    def enqueue_writebacks(self, ws: WindowStaging) -> None:
+        """Enqueue the device gathers of this window's evicted occupants.
+        MUST run after the previous window's execute is dispatched (so the
+        values read are its outputs) and before this window's execute (which
+        overwrites the slots)."""
+        n_miss = int(ws.admit_slots.shape[0])
+        if n_miss == 0:
+            self.stats.num_write_back_history.append(0)
+            self._ensure_clean(None, block=False)
+            return
+        chunk = self.buffer_size if self.buffer_size > 0 else n_miss
+        n_wb = 0
+        for s in range(0, n_miss, chunk):
+            e = min(s + chunk, n_miss)
+            ev_rows_c = ws.evict_rows[s:e]
+            wb_mask = ev_rows_c >= 0
+            if wb_mask.any():
+                slots_c = np.full((_bucket(e - s),), -1, np.int32)
+                slots_c[: e - s] = ws.admit_slots[s:e]
+                vals_dev = gather_slots(
+                    self.cache_weight, jnp.array(slots_c),
+                    out_dtype="bfloat16" if self._transfer_bf16 else None,
+                )
+                self._pending_wb.append((ev_rows_c[wb_mask], wb_mask, e - s, vals_dev))
+                n_wb += int(wb_mask.sum())
         self.stats.num_write_back_history.append(n_wb)
         self._submit_writebacks()
 

@@ -45,6 +45,9 @@ class DLRMConfig:
     /root/reference/recsys/dlrm_main.py:102-174 and BASELINE.md)."""
 
     # model
+    model: str = "dlrm"                # "dlrm" | "deepfm" (second family,
+    # /root/reference/baselines/models/deepfm.py:199)
+    deep_fm_dimension: int = 16        # DeepFM deep-interaction width
     num_embeddings_per_feature: Sequence[int] = ()
     embedding_dim: int = 128
     dense_in_features: int = 13

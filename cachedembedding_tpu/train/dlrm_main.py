@@ -34,6 +34,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--pin_memory", action="store_true", help="accepted for parity (no-op on TPU-VM)")
     # model
     p.add_argument("--model", choices=["dlrm", "deepfm"], default="dlrm")
+    p.add_argument("--deep_fm_dimension", type=int, default=16)
     p.add_argument("--embedding_dim", type=int, default=128)
     p.add_argument("--dense_arch_layer_sizes", type=str, default="512,256,128")
     p.add_argument("--over_arch_layer_sizes", type=str, default="1024,1024,512,256,1")
@@ -111,6 +112,8 @@ def build_config(args):
         planner=args.planner,
     )
     cfg = DLRMConfig(
+        model=args.model,
+        deep_fm_dimension=args.deep_fm_dimension,
         num_embeddings_per_feature=tables,
         embedding_dim=args.embedding_dim,
         dense_in_features=dense_in,
@@ -177,7 +180,20 @@ def main(argv=None) -> None:
     cfg = build_config(args)
     print(f"config: {cfg}", file=sys.stderr)
     freq = get_freq(args, cfg)
-    trainer = CachedDLRMTrainer(cfg, id_freq_map=freq)
+    if args.use_cache:
+        trainer = CachedDLRMTrainer(cfg, id_freq_map=freq)
+    else:
+        # no cache: whole table HBM-resident (plain EmbeddingBag analog —
+        # the reference's default when --use_cache is absent)
+        from cachedembedding_tpu.baselines.full_resident import (
+            FullyResidentEmbeddingBag,
+        )
+
+        embed = FullyResidentEmbeddingBag(
+            cfg.total_num_embeddings, cfg.embedding_dim,
+            table_sizes=cfg.num_embeddings_per_feature, seed=cfg.seed,
+        )
+        trainer = CachedDLRMTrainer(cfg, embed_override=embed)
     print(get_mem_info("after model init"), file=sys.stderr)
 
     train_data = get_data(args, cfg, "train")

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import ml_dtypes
 import numpy as np
 
-from cachedembedding_tpu.cache.manager import CachedEmbeddingBag
+from cachedembedding_tpu.cache.manager import CachedEmbeddingBag, WindowStaging
 from cachedembedding_tpu.config import DLRMConfig
 from cachedembedding_tpu.jagged import Batch, RaggedFeatures
 from cachedembedding_tpu.models.dlrm import (
@@ -39,7 +39,27 @@ from cachedembedding_tpu.models.dlrm import (
     dlrm_dense_forward,
     init_dlrm_dense,
 )
+from cachedembedding_tpu.models.deepfm import bce_probs, deepfm_forward, init_deepfm
+
+
+def _model_loss(model, dp, dense, sparse_bfd, compute_dtype, labels):
+    """Model-family dispatch (static): DLRM trains on logits, DeepFM on
+    Sigmoid outputs (/root/reference/baselines/models/deepfm.py:171-195)."""
+    if model == "dlrm":
+        return bce_with_logits(dlrm_dense_forward(dp, dense, sparse_bfd, compute_dtype), labels)
+    if model == "deepfm":
+        return bce_probs(deepfm_forward(dp, dense, sparse_bfd, compute_dtype), labels)
+    raise ValueError(f"unknown model {model!r}")
+
+
+def _model_probs(model, dp, dense, sparse_bfd, compute_dtype):
+    if model == "dlrm":
+        return jax.nn.sigmoid(dlrm_dense_forward(dp, dense, sparse_bfd, compute_dtype))
+    if model == "deepfm":
+        return deepfm_forward(dp, dense, sparse_bfd, compute_dtype)
+    raise ValueError(f"unknown model {model!r}")
 from cachedembedding_tpu.ops.embedding_bag import embedding_bag
+from cachedembedding_tpu.ops.synth_rows import synth_rows
 from cachedembedding_tpu.utils.metrics import StreamingMetrics
 
 
@@ -54,7 +74,7 @@ class TrainReport:
 
 @partial(
     jax.jit,
-    static_argnames=("mode", "compute_dtype_name", "use_pallas", "sparse_grad"),
+    static_argnames=("mode", "compute_dtype_name", "use_pallas", "sparse_grad", "model"),
     donate_argnames=("dense_params", "cache_weight"),
 )
 def _train_step(
@@ -69,6 +89,7 @@ def _train_step(
     compute_dtype_name: str = "float32",
     use_pallas: bool = False,
     sparse_grad: bool = False,
+    model: str = "dlrm",
 ):
     """One SGD step. ``sparse_grad`` differentiates w.r.t. the GATHERED rows and
     applies a scatter-add update instead of materializing a dense (C, D) grad —
@@ -90,8 +111,7 @@ def _train_step(
             else:
                 pooled = pooled.mean(axis=2)
             sparse_bfd = jnp.transpose(pooled, (1, 0, 2))
-            logits = dlrm_dense_forward(dp, dense_features, sparse_bfd, compute_dtype)
-            return bce_with_logits(logits, labels)
+            return _model_loss(model, dp, dense_features, sparse_bfd, compute_dtype, labels)
 
         loss, (g_dense, g_rows) = jax.value_and_grad(loss_fn_rows, argnums=(0, 1))(
             dense_params, rows0
@@ -103,8 +123,7 @@ def _train_step(
 
         def loss_fn(dp, cw):
             sparse_bfd = embedding_bag(cw, slot_features, mode=mode, use_pallas=use_pallas)
-            logits = dlrm_dense_forward(dp, dense_features, sparse_bfd, compute_dtype)
-            return bce_with_logits(logits, labels)
+            return _model_loss(model, dp, dense_features, sparse_bfd, compute_dtype, labels)
 
         loss, (g_dense, g_cache) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
             dense_params, cache_weight
@@ -120,7 +139,7 @@ def _train_step(
     jax.jit,
     static_argnames=(
         "num_features", "batch_size", "pooling", "mode", "compute_dtype_name",
-        "use_pallas", "sparse_grad",
+        "use_pallas", "sparse_grad", "model",
     ),
     donate_argnames=("dense_params", "cache_weight"),
 )
@@ -140,6 +159,7 @@ def _train_window_step(
     compute_dtype_name: str,
     use_pallas: bool,
     sparse_grad: bool,
+    model: str = "dlrm",
 ):
     """One ENTIRE prefetch window of SGD steps as a single ``lax.scan``.
 
@@ -155,14 +175,14 @@ def _train_window_step(
         (dense_feats, slot_values, labels, sparse_lrs, dense_lrs),
         num_features=num_features, batch_size=batch_size, pooling=pooling,
         mode=mode, compute_dtype=jnp.dtype(compute_dtype_name),
-        use_pallas=use_pallas, sparse_grad=sparse_grad,
+        use_pallas=use_pallas, sparse_grad=sparse_grad, model=model,
     )
 
 
 def _scan_window(
     dense_params, cache_weight, xs,
     *, num_features, batch_size, pooling, mode, compute_dtype, use_pallas,
-    sparse_grad,
+    sparse_grad, model="dlrm",
 ):
     def body(carry, xs):
         dp, cw = carry
@@ -179,8 +199,7 @@ def _scan_window(
                 pooled = rows.reshape(F, B, P, -1).astype(jnp.float32)
                 pooled = pooled.sum(axis=2) if mode == "sum" else pooled.mean(axis=2)
                 sparse_bfd = jnp.transpose(pooled, (1, 0, 2))
-                logits = dlrm_dense_forward(dp_, d, sparse_bfd, compute_dtype)
-                return bce_with_logits(logits, l)
+                return _model_loss(model, dp_, d, sparse_bfd, compute_dtype, l)
 
             loss, (g_dense, g_rows) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
                 dp, rows0
@@ -190,8 +209,7 @@ def _scan_window(
 
             def loss_fn(dp_, cw_):
                 sparse_bfd = embedding_bag(cw_, feats, mode=mode, use_pallas=use_pallas)
-                logits = dlrm_dense_forward(dp_, d, sparse_bfd, compute_dtype)
-                return bce_with_logits(logits, l)
+                return _model_loss(model, dp_, d, sparse_bfd, compute_dtype, l)
 
             loss, (g_dense, g_cache) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
                 dp, cw
@@ -234,7 +252,7 @@ def _unpack_ids(b: jnp.ndarray, P: int, L: int, width: int) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "layout", "num_features", "batch_size", "pooling", "mode",
-        "compute_dtype_name", "use_pallas", "sparse_grad",
+        "compute_dtype_name", "use_pallas", "sparse_grad", "model",
     ),
     donate_argnames=("dense_params", "cache_weight"),
 )
@@ -244,8 +262,10 @@ def _train_window_packed(
     packed: jnp.ndarray,        # (total_bytes,) uint8 — ONE combined transfer
     sparse_lrs: jnp.ndarray,    # (P,)
     dense_lrs: jnp.ndarray,     # (P,)
+    seed: jnp.ndarray,          # () uint32 — canonical init seed (synth admits)
     *,
-    layout: tuple,              # (P, L, B, Din, dense_bf16: bool, id_width_bits)
+    layout: tuple,  # (P, L, B, Din, dense_bf16, id_width_bits, synth_bucket,
+    # fetch_bucket, fetch_bf16) — sb/fb are 0 when the window has no such admits
     num_features: int,
     batch_size: int,
     pooling: int,
@@ -253,33 +273,61 @@ def _train_window_packed(
     compute_dtype_name: str,
     use_pallas: bool,
     sparse_grad: bool,
+    model: str = "dlrm",
 ):
     """Fused window step fed by ONE packed uint8 buffer.
 
-    Tunneled PJRT backends pay a link round-trip per device_put; packing
-    [slot_ids i32 | dense bf16/f32 | labels u8] into a single transfer cuts the
-    per-window host->device op count to one. Unpacking is three bitcasts on
-    device — free next to the matmuls."""
-    P, L, B, Din, dense_bf16, id_width = layout
+    Tunneled PJRT backends pay a link round-trip per device_put and dispatch
+    latency per execute; packing [slot_ids | dense | labels | synth admits |
+    fetched admits] into a single transfer and applying the admits INSIDE the
+    program makes the steady state exactly one put + one execute per window.
+    Unpacking is a handful of bitcasts/shifts on device — free next to the
+    matmuls. Admit scatters are sequenced before the train steps by the data
+    dependency on cache_weight."""
+    P, L, B, Din, dense_bf16, id_width, sb, fb, fetch_bf16 = layout
+    D = cache_weight.shape[1]
     a = P * ({16: 2 * L, 20: 5 * (L // 2), 24: 3 * L, 32: 4 * L}[id_width])
     dsize = 2 if dense_bf16 else 4
     b = a + P * B * Din * dsize
+    c = b + P * B
     slot_values = _unpack_ids(packed[:a], P, L, id_width)
     dense_dt = jnp.bfloat16 if dense_bf16 else jnp.float32
     dense_feats = jax.lax.bitcast_convert_type(
         packed[a:b].reshape(P, B, Din, dsize), dense_dt
     ).astype(jnp.float32)
-    labels = packed[b:].reshape(P, B).astype(jnp.float32)
+    labels = packed[b:c].reshape(P, B).astype(jnp.float32)
+    if sb:
+        s0, s1, s2 = c, c + 4 * sb, c + 8 * sb
+        c = c + 12 * sb
+        s_slots = jax.lax.bitcast_convert_type(packed[s0:s1].reshape(sb, 4), jnp.int32)
+        s_rows = jax.lax.bitcast_convert_type(packed[s1:s2].reshape(sb, 4), jnp.int32)
+        s_bounds = jax.lax.bitcast_convert_type(packed[s2:c].reshape(sb, 4), jnp.float32)
+        vals = synth_rows(s_rows, s_bounds, seed, D)
+        cache_weight = cache_weight.at[
+            jnp.where(s_slots >= 0, s_slots, cache_weight.shape[0])
+        ].set(vals.astype(cache_weight.dtype), mode="drop")
+    if fb:
+        f0, f1 = c, c + 4 * fb
+        fsize = 2 if fetch_bf16 else 4
+        c = f1 + fb * D * fsize
+        f_slots = jax.lax.bitcast_convert_type(packed[f0:f1].reshape(fb, 4), jnp.int32)
+        fetch_dt = jnp.bfloat16 if fetch_bf16 else jnp.float32
+        payload = jax.lax.bitcast_convert_type(
+            packed[f1:c].reshape(fb, D, fsize), fetch_dt
+        )
+        cache_weight = cache_weight.at[
+            jnp.where(f_slots >= 0, f_slots, cache_weight.shape[0])
+        ].set(payload.astype(cache_weight.dtype), mode="drop")
     return _scan_window(
         dense_params, cache_weight,
         (dense_feats, slot_values, labels, sparse_lrs, dense_lrs),
         num_features=num_features, batch_size=batch_size, pooling=pooling,
         mode=mode, compute_dtype=jnp.dtype(compute_dtype_name),
-        use_pallas=use_pallas, sparse_grad=sparse_grad,
+        use_pallas=use_pallas, sparse_grad=sparse_grad, model=model,
     )
 
 
-@partial(jax.jit, static_argnames=("mode", "compute_dtype_name", "use_pallas"))
+@partial(jax.jit, static_argnames=("mode", "compute_dtype_name", "use_pallas", "model"))
 def _eval_step(
     dense_params: DLRMParams,
     cache_weight: jnp.ndarray,
@@ -288,11 +336,11 @@ def _eval_step(
     mode: str = "sum",
     compute_dtype_name: str = "float32",
     use_pallas: bool = False,
+    model: str = "dlrm",
 ):
     compute_dtype = jnp.dtype(compute_dtype_name)
     sparse_bfd = embedding_bag(cache_weight, slot_features, mode=mode, use_pallas=use_pallas)
-    logits = dlrm_dense_forward(dense_params, dense_features, sparse_bfd, compute_dtype)
-    return jax.nn.sigmoid(logits)
+    return _model_probs(model, dense_params, dense_features, sparse_bfd, compute_dtype)
 
 
 class CachedDLRMTrainer:
@@ -330,16 +378,27 @@ class CachedDLRMTrainer:
             transfer_dtype=cache_cfg.transfer_dtype,
         )
         key = jax.random.PRNGKey(cfg.seed)
-        self.dense_params = init_dlrm_dense(
-            key,
-            cfg.embedding_dim,
-            cfg.num_sparse_features,
-            cfg.dense_in_features,
-            cfg.dense_arch_layer_sizes,
-            cfg.over_arch_layer_sizes,
-        )
+        if cfg.model == "deepfm":
+            self.dense_params = init_deepfm(
+                key,
+                cfg.embedding_dim,
+                cfg.num_sparse_features,
+                cfg.dense_in_features,
+                hidden_layer_size=cfg.dense_arch_layer_sizes[0],
+                deep_fm_dimension=cfg.deep_fm_dimension,
+            )
+        else:
+            self.dense_params = init_dlrm_dense(
+                key,
+                cfg.embedding_dim,
+                cfg.num_sparse_features,
+                cfg.dense_in_features,
+                cfg.dense_arch_layer_sizes,
+                cfg.over_arch_layer_sizes,
+            )
         self.data_parallel_size = int(np.prod(cfg.mesh_shape))
         self._step_idx = 0
+        self._lr_cache: dict = {}
 
     # ------------------------------------------------------------------
     def _lrs(self, progress: float) -> tuple[float, float]:
@@ -372,36 +431,63 @@ class CachedDLRMTrainer:
         all_ids = np.concatenate(vals).astype(np.int32)
         if uniform:
             P, L = len(batches), vals[0].shape[0]
-            pw = self.embed.begin_prepare(all_ids, out_shape=(P, L), device_put=False)
-            if isinstance(pw.slot_ids, np.ndarray):
-                # Host planner: pack the whole window's inputs into ONE
-                # host->device transfer (see _train_window_packed).
-                B, Din = f0.batch_size, self.cfg.dense_in_features
-                dense_bf16 = self.cfg.dense_input_dtype == "bfloat16"
-                ddt = ml_dtypes.bfloat16 if dense_bf16 else np.float32
-                dense = np.stack(
-                    [np.asarray(b.dense_features, ddt) for b in batches]
+            staged = (
+                isinstance(self.embed, CachedEmbeddingBag)
+                and self.embed._dir is not None
+            )
+            if staged:
+                ws = self.embed.begin_window_staging(all_ids, (P, L))
+                slot_ids_np, extras = ws.slot_ids, ws
+            else:
+                pw = self.embed.begin_prepare(
+                    all_ids, out_shape=(P, L), device_put=False
                 )
-                labels = np.stack(
-                    [np.asarray(b.labels).astype(np.uint8) for b in batches]
-                )
-                from cachedembedding_tpu._native import hostops
+                if not isinstance(pw.slot_ids, np.ndarray):
+                    return pw, pw.slot_ids
+                slot_ids_np, extras = pw.slot_ids, None
+            # Pack the whole window's inputs — and, in the staged case, its
+            # admits — into ONE host->device transfer (_train_window_packed).
+            B, Din = f0.batch_size, self.cfg.dense_in_features
+            dense_bf16 = self.cfg.dense_input_dtype == "bfloat16"
+            ddt = ml_dtypes.bfloat16 if dense_bf16 else np.float32
+            dense = np.stack([np.asarray(b.dense_features, ddt) for b in batches])
+            labels = np.stack(
+                [np.asarray(b.labels).astype(np.uint8) for b in batches]
+            )
+            from cachedembedding_tpu._native import hostops
 
-                id_width = hostops.id_pack_width(self.embed.capacity, L)
-                ids_bytes = (
-                    pw.slot_ids.reshape(-1).view(np.uint8)
-                    if id_width == 32
-                    else hostops.pack_ids(pw.slot_ids, id_width)
-                )
-                buf = np.concatenate([
-                    ids_bytes,
-                    np.ascontiguousarray(dense).reshape(-1).view(np.uint8),
-                    labels.reshape(-1),
-                ])
-                buf_dev = jax.device_put(buf)
-                layout = (P, L, B, Din, dense_bf16, id_width)
-                return pw, ("packed", buf_dev, layout)
-            return pw, pw.slot_ids
+            id_width = hostops.id_pack_width(self.embed.capacity, P * L)
+            ids_bytes = (
+                slot_ids_np.reshape(-1).view(np.uint8)
+                if id_width == 32
+                else hostops.pack_ids(slot_ids_np, id_width)
+            )
+            parts = [
+                ids_bytes,
+                np.ascontiguousarray(dense).reshape(-1).view(np.uint8),
+                labels.reshape(-1),
+            ]
+            sb = fb = 0
+            fetch_bf16 = False
+            if extras is not None:
+                sb = int(extras.synth_slots.shape[0])
+                fb = int(extras.fetch_slots.shape[0])
+                fetch_bf16 = extras.fetch_payload.dtype == ml_dtypes.bfloat16
+                if sb:
+                    parts += [
+                        extras.synth_slots.view(np.uint8),
+                        extras.synth_rows.view(np.uint8),
+                        extras.synth_bounds.view(np.uint8),
+                    ]
+                if fb:
+                    parts += [
+                        extras.fetch_slots.view(np.uint8),
+                        np.ascontiguousarray(extras.fetch_payload).reshape(-1).view(np.uint8),
+                    ]
+            buf_dev = jax.device_put(np.concatenate(parts))
+            layout = (P, L, B, Din, dense_bf16, id_width, sb, fb, fetch_bf16)
+            pw_out = extras if extras is not None else pw
+            return pw_out, ("packed", buf_dev, layout)
         pw = self.embed.begin_prepare(all_ids)
         out: List[RaggedFeatures] = []
         off = 0
@@ -420,6 +506,15 @@ class CachedDLRMTrainer:
             off += n
         return pw, out
 
+    def _finish_window(self, pw) -> None:
+        """Complete a begun window: staged windows (in-program admits) only
+        need their eviction writebacks enqueued — the admits ride inside the
+        window program itself; other window kinds stage rows now."""
+        if isinstance(pw, WindowStaging):
+            self.embed.enqueue_writebacks(pw)
+        elif hasattr(self.embed, "finish_prepare"):
+            self.embed.finish_prepare(pw)
+
     def _dispatch_window(
         self, batches: List[Batch], window_input, progresses: List[float]
     ) -> jnp.ndarray:
@@ -428,8 +523,13 @@ class CachedDLRMTrainer:
         cfg = self.cfg
         f0 = batches[0].sparse_features
         lrs = [self._lrs(p) for p in progresses]
-        sparse_lrs = jnp.asarray(np.asarray([a for a, _ in lrs], np.float32))
-        dense_lrs = jnp.asarray(np.asarray([b for _, b in lrs], np.float32))
+        key = tuple(lrs)
+        if key not in self._lr_cache:  # reuse device arrays: no put per window
+            self._lr_cache[key] = (
+                jnp.asarray(np.asarray([a for a, _ in lrs], np.float32)),
+                jnp.asarray(np.asarray([b for _, b in lrs], np.float32)),
+            )
+        sparse_lrs, dense_lrs = self._lr_cache[key]
         common = dict(
             num_features=f0.num_features,
             batch_size=f0.batch_size,
@@ -437,6 +537,7 @@ class CachedDLRMTrainer:
             mode=cfg.reduction_mode,
             compute_dtype_name=cfg.compute_dtype,
             use_pallas=cfg.cache.use_pallas_lookup,
+            model=cfg.model,
         )
         if isinstance(window_input, tuple) and window_input[0] == "packed":
             _, buf_dev, layout = window_input
@@ -446,7 +547,9 @@ class CachedDLRMTrainer:
             ) and f0.pooling is not None
             self.dense_params, new_cache, losses = _train_window_packed(
                 self.dense_params, self.embed.cache_weight, buf_dev,
-                sparse_lrs, dense_lrs, layout=layout, sparse_grad=sparse_grad,
+                sparse_lrs, dense_lrs,
+                getattr(self.embed, "_seed_u32", jnp.uint32(0)),
+                layout=layout, sparse_grad=sparse_grad,
                 **common,
             )
         else:
@@ -488,6 +591,7 @@ class CachedDLRMTrainer:
             compute_dtype_name=cfg.compute_dtype,
             use_pallas=cfg.cache.use_pallas_lookup,
             sparse_grad=sparse_grad,
+            model=cfg.model,
         )
         self.embed.set_param(new_cache)
         return loss
@@ -539,7 +643,7 @@ class CachedDLRMTrainer:
         if cur:
             with annotate("cache_prepare"):
                 pw_cur, sv_cur = self._begin_window(cur)
-                self.embed.finish_prepare(pw_cur)
+                self._finish_window(pw_cur)
         while cur:
             # Dispatch this window's train steps FIRST (async, ONE fused device
             # call for uniform windows) so the next window's transfers ride the
@@ -565,7 +669,7 @@ class CachedDLRMTrainer:
             if nxt:
                 with annotate("cache_prepare"):
                     pw_nxt, sv_nxt = self._begin_window(nxt)
-                    self.embed.finish_prepare(pw_nxt)
+                    self._finish_window(pw_nxt)
             if log_every and done // log_every != prev_done // log_every:
                 # NOTE: read as a (1,) array — 0-d readbacks are pathologically
                 # slow on tunneled device links.
@@ -617,6 +721,7 @@ class CachedDLRMTrainer:
                 mode=cfg.reduction_mode,
                 compute_dtype_name=cfg.compute_dtype,
                 use_pallas=cfg.cache.use_pallas_lookup,
+                model=cfg.model,
             )
             metrics.update(np.asarray(probs), np.asarray(b.labels))
         return metrics.compute()

@@ -51,3 +51,33 @@ def test_deepfm_trains():
         g = jax.grad(loss_fn)(params)
         params = jax.tree_util.tree_map(lambda p, gg: p - 0.5 * gg, params, g)
     assert float(loss_fn(params)) < l0
+
+
+def test_deepfm_trains_through_cached_trainer():
+    """DeepFM as the model family of the full cached pipeline (reference runs
+    SimpleDeepFMNN through the same harness, baselines/dlrm_main.py:684-688)."""
+    from cachedembedding_tpu.config import CacheConfig, DLRMConfig
+    from cachedembedding_tpu.data.synthetic import SyntheticLongTailDataset
+    from cachedembedding_tpu.train.trainer import CachedDLRMTrainer
+
+    tables = [500, 300]
+    cfg = DLRMConfig(
+        model="deepfm",
+        deep_fm_dimension=8,
+        num_embeddings_per_feature=tables,
+        embedding_dim=16,
+        dense_in_features=4,
+        dense_arch_layer_sizes=(32, 16),
+        batch_size=128,
+        learning_rate=0.1,
+        cache=CacheConfig(cache_ratio=0.5, prefetch_num=2, use_freq=False,
+                          use_lfu_eviction=True, buffer_size=0),
+    )
+    data = SyntheticLongTailDataset(tables, cfg.batch_size, 8, dense_in_features=4, seed=2)
+    trainer = CachedDLRMTrainer(cfg)
+    report = trainer.train(data, num_iters=8)
+    assert np.isfinite(report.losses).all()
+    metrics = trainer.evaluate(
+        SyntheticLongTailDataset(tables, cfg.batch_size, 2, dense_in_features=4, seed=3)
+    )
+    assert 0.0 <= metrics["auroc"] <= 1.0
