@@ -75,6 +75,9 @@ def main() -> None:
         dense_in_features=dense_in,
         batch_size=args.batch_size,
         learning_rate=1.0,
+        # bf16 towers: the TPU idiom (MXU-native); AUROC lift at bf16 is
+        # covered by tests/test_e2e.py::test_training_lifts_auroc_bf16
+        compute_dtype="bfloat16",
         cache=CacheConfig(
             cache_ratio=cache_ratio,
             warmup_ratio=0.7,

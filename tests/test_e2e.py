@@ -45,6 +45,24 @@ def test_training_lifts_auroc():
     assert metrics["auroc"] > max(untrained + 0.03, 0.55), (untrained, metrics)
 
 
+def test_training_lifts_auroc_bf16():
+    """bf16 towers + bf16 cache (the bench configuration) must still learn."""
+    tables = [1000, 2000, 500, 300]
+    cfg = _cfg(tables, prefetch_num=2)
+    cfg.learning_rate = 0.3
+    cfg.compute_dtype = "bfloat16"
+    data = SyntheticLongTailDataset(
+        tables, cfg.batch_size, num_batches=30, dense_in_features=4, seed=3
+    )
+    eval_data = SyntheticLongTailDataset(
+        tables, cfg.batch_size, num_batches=5, dense_in_features=4, seed=99
+    )
+    trainer = CachedDLRMTrainer(cfg, id_freq_map=data.id_freq_map())
+    trainer.train(data, num_iters=30)
+    metrics = trainer.evaluate(eval_data)
+    assert metrics["auroc"] > 0.58, metrics
+
+
 def test_prefetch_equivalence():
     """prefetch_num>1 must produce numerically identical training to prefetch_num=1
     (far-sighted prefetch only moves cache maintenance, not semantics)."""
