@@ -12,6 +12,10 @@ Usage: python benchmark/benchmark_cache.py [--quick]
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 import time
 

@@ -9,6 +9,10 @@ The resident baseline stores the table in bf16 so Criteo-Kaggle scale (33.7M x
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 import time
 

@@ -415,6 +415,11 @@ class ParallelCachedEmbeddingBagTablewise:
             )
             self.host_tables[r].scatter(s2r[r][real], vals[: real.size])
 
+    def print_comm_stats(self) -> None:
+        print(self.stats.summary())
+
+    print_comm_stats_ = print_comm_stats
+
     def feature_select_perm(self) -> np.ndarray:
         """(F,) indices into the rank-major concat (w * F_max) selecting real
         features in original order — used after the tablewise all-to-all."""

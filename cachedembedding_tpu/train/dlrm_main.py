@@ -65,6 +65,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--fused_op", choices=["all_to_all", "gather_scatter"], default="all_to_all")
     p.add_argument("--world_size", type=int, default=None,
                    help="devices to use (default: all visible)")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed for a TPU pod slice "
+                        "(launch the same command on every host; scripts/pod.sh)")
     # observability / debug
     p.add_argument("--inspect_time", action="store_true",
                    help="run 200 iters printing per-step loss + timing, then exit "
@@ -172,14 +175,76 @@ def get_freq(args, cfg) -> Optional[np.ndarray]:
     return np.asarray(get_id_freq_map(args.dataset_dir))
 
 
+def run_hybrid(args, cfg, freq) -> None:
+    """Multi-device training: hybrid model-parallel sparse x data-parallel
+    dense over a mesh (the reference's multi-GPU topology,
+    /root/reference/recsys/models/dlrm.py:144-147). Column-wise by default,
+    table-wise with --use_tablewise."""
+    import jax
+
+    from cachedembedding_tpu.models.hybrid import HybridParallelDLRM
+    from cachedembedding_tpu.parallel.mesh import make_mesh
+
+    n = args.world_size or len(jax.devices())
+    mesh = make_mesh(n)
+    model = HybridParallelDLRM(cfg, mesh=mesh, id_freq_map=freq)
+    print(model.model_stats("HybridParallelDLRM"), file=sys.stderr)
+    offsets = np.concatenate(
+        [[0], np.cumsum(cfg.num_embeddings_per_feature)]
+    ).astype(np.int64)
+    lr = cfg.learning_rate
+    loss = None
+    n_it = 0
+    t0 = time.perf_counter()
+    for i, b in enumerate(get_data(args, cfg, "train")):
+        if args.limit_train_batches and i >= args.limit_train_batches:
+            break
+        f = b.sparse_features
+        vals = np.asarray(f.values)
+        if cfg.use_tablewise:
+            # tablewise routing wants per-feature-local (B, F) ids
+            ids_bf = vals.reshape(f.num_features, f.batch_size).T - offsets[:-1][None, :]
+            slot_vals, plans = model.embed.begin_prepare(ids_bf)
+            model.embed.finish_prepare(plans)
+        else:
+            slot_vals = model.embed.prepare_ids(vals)
+        loss = model.train_step(
+            np.asarray(b.dense_features), slot_vals, np.asarray(b.labels),
+            lr, lr * mesh.devices.size,
+        )
+        n_it += 1
+    if loss is not None:
+        jax.block_until_ready(loss)
+        print(
+            f"hybrid[{n}dev,{'tablewise' if cfg.use_tablewise else 'columnwise'}]: "
+            f"{n_it} iters, {n_it / (time.perf_counter() - t0):.2f} it/s, "
+            f"final loss={float(loss):.5f}"
+        )
+    model.embed.print_comm_stats()
+
+
 def main(argv=None) -> None:
     args = parse_args(argv)
+    if args.multihost:
+        # one controller per host; topology from the TPU metadata service
+        # (the L0 launcher analog of colossalai.launch_from_torch,
+        # /root/reference/recsys/dlrm_main.py:378)
+        import jax
+
+        jax.distributed.initialize()
     from cachedembedding_tpu.train.trainer import CachedDLRMTrainer
     from cachedembedding_tpu.utils.misc import get_mem_info
 
     cfg = build_config(args)
     print(f"config: {cfg}", file=sys.stderr)
     freq = get_freq(args, cfg)
+
+    import jax
+
+    eff_world = args.world_size or len(jax.devices())
+    if eff_world > 1 or args.use_tablewise:
+        return run_hybrid(args, cfg, freq)
+
     if args.use_cache:
         trainer = CachedDLRMTrainer(cfg, id_freq_map=freq)
     else:
