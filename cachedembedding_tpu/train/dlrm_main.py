@@ -277,7 +277,36 @@ def main(argv=None) -> None:
 
     for epoch in range(cfg.epochs):
         t0 = time.perf_counter()
-        report = trainer.train(train_data, num_iters=limit, log_every=100)
+        vfreq = cfg.validation_freq_within_epoch
+        if vfreq:
+            # mid-epoch validation every vfreq iterations
+            # (/root/reference/recsys/dlrm_main.py:217-224 --validation_freq_within_epoch)
+            it = iter(train_data)
+            done = 0
+            reports = []
+            while limit is None or done < limit:
+                seg = vfreq if limit is None else min(vfreq, limit - done)
+                rep = trainer.train(it, num_iters=seg, log_every=100)
+                if not rep.losses:
+                    break
+                reports.append(rep)
+                done += len(rep.losses)
+                val = get_data(args, cfg, "val")
+                if args.limit_val_batches:
+                    val = list(val)[: args.limit_val_batches]
+                m = trainer.evaluate(val)
+                print(f"epoch {epoch} it {done}: val auroc={m['auroc']:.6f}")
+                if len(rep.losses) < seg:
+                    break
+            losses = [l for r in reports for l in r.losses]
+            tot = time.perf_counter() - t0
+            report = type(reports[0])(
+                losses=losses, it_per_s=len(losses) / tot,
+                examples_per_s=len(losses) * cfg.batch_size / tot,
+                hit_rate=reports[-1].hit_rate,
+            )
+        else:
+            report = trainer.train(train_data, num_iters=limit, log_every=100)
         print(
             f"epoch {epoch}: {len(report.losses)} iters in {time.perf_counter()-t0:.0f}s "
             f"({report.it_per_s:.2f} it/s, {report.examples_per_s:.0f} ex/s, "
