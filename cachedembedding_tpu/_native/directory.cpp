@@ -150,6 +150,12 @@ int64_t dir_plan(void* h, const int32_t* ids, int64_t L, int32_t* slot_ids,
   for (int64_t i = 0; i < L; ++i) {
     if (i + kAhead < L) __builtin_prefetch(&mark[ids[i + kAhead]], 1, 1);
     const int64_t r = ids[i];
+    if (static_cast<uint64_t>(r) >= static_cast<uint64_t>(d.num_rows)) {
+      // out-of-range id (negative or >= N): report instead of corrupting
+      stats[0] = 0; stats[1] = i; stats[2] = r; stats[3] = 0; stats[4] = 0;
+      stats[5] = 2;
+      return -1;
+    }
     const uint64_t m = mark[r];
     if ((m & ~kCountMask) != em) {
       mark[r] = em | 1;

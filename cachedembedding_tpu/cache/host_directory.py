@@ -129,6 +129,11 @@ class HostDirectory:
         )
         s = self._stats
         if n_miss < 0:
+            if s[5] == 2:
+                raise ValueError(
+                    f"id out of range at position {s[1]}: {s[2]} not in "
+                    f"[0, {self.num_rows}) — check table-size/hash configuration"
+                )
             raise CapacityError(
                 f"cache capacity exhausted: working set needs {s[0]} new slots on "
                 f"top of {s[2]} protected hits but capacity is {self.capacity}. "

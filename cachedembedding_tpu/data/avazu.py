@@ -68,5 +68,11 @@ def get_dataloader(
     )
 
 
-def get_id_freq_map(dataset_dir: str, is_rank_zero: bool = True) -> np.ndarray:
-    return _freq(dataset_dir, AVAZU_NUM_EMBEDDINGS_PER_FEATURE, is_rank_zero=is_rank_zero)
+def get_id_freq_map(
+    dataset_dir: str, is_rank_zero: bool = True, table_sizes=None
+) -> np.ndarray:
+    return _freq(
+        dataset_dir,
+        list(table_sizes) if table_sizes is not None else AVAZU_NUM_EMBEDDINGS_PER_FEATURE,
+        is_rank_zero=is_rank_zero,
+    )

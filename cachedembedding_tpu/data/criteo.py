@@ -64,5 +64,13 @@ def get_dataloader(
     )
 
 
-def get_id_freq_map(dataset_dir: str, is_rank_zero: bool = True) -> np.ndarray:
-    return _freq(dataset_dir, table_sizes_for(dataset_dir), is_rank_zero=is_rank_zero)
+def get_id_freq_map(
+    dataset_dir: str,
+    is_rank_zero: bool = True,
+    table_sizes: Optional[Sequence[int]] = None,
+) -> np.ndarray:
+    return _freq(
+        dataset_dir,
+        list(table_sizes) if table_sizes is not None else table_sizes_for(dataset_dir),
+        is_rank_zero=is_rank_zero,
+    )

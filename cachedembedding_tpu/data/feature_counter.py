@@ -32,7 +32,9 @@ class GlobalFeatureCounter:
         for path in self.sparse_files:
             arr = np.load(path, mmap_mode="r")
             for s in range(0, arr.shape[0], chunk_rows):
-                chunk = np.asarray(arr[s : s + chunk_rows], dtype=np.int64)
+                # np.array (copy): asarray of an int64 mmap returns a
+                # READ-ONLY view and the in-place %= below would throw
+                chunk = np.array(arr[s : s + chunk_rows], dtype=np.int64)
                 chunk %= self.table_sizes[None, :]
                 chunk += self.offsets[None, :]
                 hostops.bincount(chunk.reshape(-1), self.total, out=freq)

@@ -101,11 +101,13 @@ class InMemoryNpyDataset:
         self.assigned_tables = np.asarray(assigned_tables)
         sparse = sparse[:, self.assigned_tables] if sparse.size else sparse
 
-        if hashes is not None:
+        if hashes is not None and sparse.size:
             h = np.asarray(hashes, np.int64)
             offsets = np.concatenate([[0], np.cumsum(h)[:-1]])
             sparse %= h[self.assigned_tables][None, :]
             sparse += offsets[self.assigned_tables][None, :]
+        elif not sparse.size:
+            sparse = sparse.reshape(0, len(self.assigned_tables))
         self.sparse = sparse.astype(np.int64)
 
         self.num_batches = self.dense.shape[0] // batch_size

@@ -158,6 +158,7 @@ def get_data(args, cfg, stage: str):
     return mod.get_dataloader(
         args.dataset_dir, stage, cfg.batch_size,
         shuffle_batches=cfg.shuffle_batches, seed=cfg.seed,
+        hashes=cfg.num_embeddings_per_feature,
     )
 
 
@@ -172,7 +173,11 @@ def get_freq(args, cfg) -> Optional[np.ndarray]:
         from cachedembedding_tpu.data.avazu import get_id_freq_map
     else:
         from cachedembedding_tpu.data.criteo import get_id_freq_map
-    return np.asarray(get_id_freq_map(args.dataset_dir))
+    return np.asarray(
+        get_id_freq_map(
+            args.dataset_dir, table_sizes=cfg.num_embeddings_per_feature
+        )
+    )
 
 
 def run_hybrid(args, cfg, freq) -> None:

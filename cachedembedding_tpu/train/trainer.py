@@ -698,9 +698,23 @@ class CachedDLRMTrainer:
             hit_rate=self.embed.stats.hit_rate(),
         )
 
-    def evaluate(self, data: Iterable[Batch]) -> dict:
+    def evaluate(self, data: Iterable[Batch], readback_every: int = 32) -> dict:
+        """AUROC/Accuracy eval (/root/reference/recsys/dlrm_main.py:300-333).
+        Per-batch scores stay on device and are read back in blocks — a
+        device->host round trip costs ~70ms on tunneled links, so per-batch
+        readback would dominate eval wall time."""
         cfg = self.cfg
         metrics = StreamingMetrics()
+        pending: List[jnp.ndarray] = []
+        pending_labels: List[np.ndarray] = []
+
+        def drain():
+            if pending:
+                scores = np.asarray(jnp.concatenate(pending))
+                metrics.update(scores, np.concatenate(pending_labels))
+                pending.clear()
+                pending_labels.clear()
+
         for b in data:
             # Eval runs with cache maintenance inline (cache_op=True analog,
             # /root/reference/recsys/models/dlrm.py:216-217).
@@ -723,5 +737,9 @@ class CachedDLRMTrainer:
                 use_pallas=cfg.cache.use_pallas_lookup,
                 model=cfg.model,
             )
-            metrics.update(np.asarray(probs), np.asarray(b.labels))
+            pending.append(probs)
+            pending_labels.append(np.asarray(b.labels))
+            if len(pending) >= readback_every:
+                drain()
+        drain()
         return metrics.compute()
