@@ -41,6 +41,8 @@ class FullyResidentEmbeddingBag:
         table_sizes: Optional[Sequence[int]] = None,
         seed: int = 1024,
         weight_init: str = "uniform",
+        optimizer: str = "sgd",
+        adagrad_initial: float = 0.0,
         **_ignored,
     ):
         self.num_embeddings = int(num_embeddings)
@@ -59,6 +61,14 @@ class FullyResidentEmbeddingBag:
             )
         self.stats = CacheStats()
         self.cache_op = True
+        self.optimizer = optimizer
+        self.adagrad_initial = float(adagrad_initial)
+        # fully-resident rowwise-adagrad state: just an (N,) device array
+        self.cache_accum = (
+            jnp.full((self.num_embeddings,), adagrad_initial, jnp.float32)
+            if optimizer == "rowwise_adagrad"
+            else None
+        )
 
     # trainer protocol ------------------------------------------------------
     def begin_prepare(self, ids, out_shape=None, device_put=True) -> _NullWindow:
@@ -77,6 +87,9 @@ class FullyResidentEmbeddingBag:
 
     def set_param(self, w) -> None:
         self.cache_weight = w
+
+    def set_accum(self, a) -> None:
+        self.cache_accum = a
 
     def get_param(self) -> jnp.ndarray:
         return self.cache_weight

@@ -94,6 +94,82 @@ class DenseHostTable:
             self._written[:] = True
 
 
+class DenseAccumStore:
+    """Host-DRAM per-row optimizer state (row-wise Adagrad accumulators) for a
+    materialized table. The accumulator TIERS WITH THE CACHE: admitted rows
+    carry their accumulator into HBM, evicted rows write it back — optimizer
+    state for 90+ GB tables costs 4 bytes/row of host DRAM and (capacity,) of
+    HBM. No reference analog (the reference is SGD-only)."""
+
+    def __init__(self, num_rows: int, initial: float = 0.0):
+        if hostops.native_available():
+            self.arr = hostops.alloc_table(num_rows, 1).reshape(-1)  # zeroed mmap
+            if initial:
+                self.arr[:] = initial
+        else:
+            self.arr = np.full((num_rows,), initial, np.float32)
+        self.initial = initial
+
+    def gather(self, idx: np.ndarray) -> np.ndarray:
+        return self.arr[idx]
+
+    def scatter(self, idx: np.ndarray, vals: np.ndarray) -> None:
+        self.arr[idx] = vals
+
+    def save_state(self):
+        return {"kind": "dense", "arr": self.arr}
+
+    def mark_all_written(self) -> None:
+        pass
+
+
+class OverlayAccumStore:
+    """Accumulator store for virtual tables: written rows live in a dim-1
+    native overlay; unwritten rows default to ``initial`` (the canonical
+    generator with bound 0 yields exactly -0.0, shifted by initial)."""
+
+    def __init__(self, initial: float = 0.0, capacity_hint: int = 1 << 16):
+        lib = hostops._load_lib()
+        if lib is None:
+            raise RuntimeError("OverlayAccumStore requires the native hostops lib")
+        VirtualHostTable._ensure_proto()
+        self._lib = lib
+        self._h = lib.overlay_create(1, 0, capacity_hint)
+        self.initial = float(initial)
+
+    def gather(self, idx: np.ndarray) -> np.ndarray:
+        idx = np.ascontiguousarray(idx, np.int64)
+        out = np.empty((idx.shape[0], 1), np.float32)
+        bounds = np.zeros((idx.shape[0],), np.float32)  # default row == 0
+        self._lib.overlay_gather_f32(
+            self._h, idx.ctypes.data, bounds.ctypes.data, out.ctypes.data, idx.shape[0]
+        )
+        out = out.reshape(-1)
+        if self.initial:
+            w = np.empty((idx.shape[0],), np.uint8)
+            self._lib.overlay_contains(self._h, idx.ctypes.data, w.ctypes.data, idx.shape[0])
+            out[~w.astype(bool)] = self.initial
+        return out
+
+    def scatter(self, idx: np.ndarray, vals: np.ndarray) -> None:
+        idx = np.ascontiguousarray(idx, np.int64)
+        vals = np.ascontiguousarray(vals, np.float32).reshape(-1, 1)
+        self._lib.overlay_scatter_f32(self._h, idx.ctypes.data, vals.ctypes.data, idx.shape[0])
+
+    def save_state(self):
+        n = int(self._lib.overlay_used(self._h))
+        rows = np.empty((n,), np.int64)
+        if n:
+            self._lib.overlay_keys(self._h, rows.ctypes.data)
+        return {"kind": "overlay", "rows": rows, "vals": self.gather(rows)}
+
+    def __del__(self):
+        try:
+            self._lib.overlay_free(self._h)
+        except Exception:
+            pass
+
+
 class VirtualHostTable:
     def __init__(
         self,

@@ -20,6 +20,7 @@ Split of responsibilities:
 from __future__ import annotations
 
 import threading
+from functools import partial
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -44,7 +45,12 @@ from cachedembedding_tpu.cache.state import (
     slice_plan_indices,
 )
 from cachedembedding_tpu.cache.host_directory import HostPlan, make_directory
-from cachedembedding_tpu.cache.host_table import DenseHostTable, VirtualHostTable
+from cachedembedding_tpu.cache.host_table import (
+    DenseAccumStore,
+    DenseHostTable,
+    OverlayAccumStore,
+    VirtualHostTable,
+)
 from cachedembedding_tpu.jagged import RaggedFeatures
 from cachedembedding_tpu.ops.embedding_bag import embedding_bag
 from cachedembedding_tpu.ops.synth_rows import scatter_synth_admits
@@ -115,8 +121,18 @@ class WindowStaging(NamedTuple):
     synth_bounds: np.ndarray  # (sb,) float32
     fetch_slots: np.ndarray   # (fb,) int32, -1 padded; fb == 0 when none
     fetch_payload: np.ndarray  # (fb, D) in the transfer dtype
+    fetch_accum: np.ndarray   # (fb,) f32 optimizer state (rowwise adagrad) or (0,)
     admit_slots: np.ndarray   # (n_miss,) full plan arrays for the writebacks
     evict_rows: np.ndarray    # (n_miss,)
+
+
+@partial(jax.jit, donate_argnames=("accum",))
+def _scatter_accum(accum: jnp.ndarray, slots: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
+    """Land per-row optimizer state for admitted slots (-1 padding drops)."""
+    C = accum.shape[0]
+    return accum.at[jnp.where(slots >= 0, slots, C)].set(
+        vals.astype(accum.dtype), mode="drop"
+    )
 
 
 def _bucket(n: int, lo: int = 2048) -> int:
@@ -190,6 +206,12 @@ class CachedEmbeddingBag:
         # table is procedural (uniform/virtual init) and the planner is host;
         # "off" disables. Removes the host->HBM transfer for the (majority)
         # of admits that are cold tail rows still holding their init value.
+        optimizer: str = "sgd",  # "sgd" | "rowwise_adagrad" — rowwise adagrad
+        # keeps a per-ROW accumulator that TIERS WITH THE CACHE: (capacity,)
+        # f32 in HBM, admitted/evicted alongside the rows, master copy in a
+        # host accumulator store. Beyond-reference feature (reference is
+        # SGD-only); standard for production DLRM embedding training.
+        adagrad_initial: float = 0.0,
         transfer_dtype: str = "float32",  # "bfloat16" halves host<->HBM row
         # payloads (cache + host master stay float32; rows are rounded once on
         # admission and once on writeback)
@@ -261,6 +283,28 @@ class CachedEmbeddingBag:
             else None
         )
         self.cache_weight = jnp.zeros((self.capacity, self.embedding_dim), dtype=dtype)
+
+        # --- optimizer state (rowwise adagrad accumulators) ---
+        if optimizer not in ("sgd", "rowwise_adagrad"):
+            raise ValueError(f"unknown optimizer {optimizer!r}")
+        if optimizer == "rowwise_adagrad" and self._dir is None:
+            raise ValueError(
+                "rowwise_adagrad on a cached bag requires the host planner "
+                "(the accumulator tiers with the cache through the staged "
+                "admit/evict paths)"
+            )
+        self.optimizer = optimizer
+        if optimizer == "rowwise_adagrad":
+            self.cache_accum = jnp.full((self.capacity,), adagrad_initial, jnp.float32)
+            self.host_accum = (
+                OverlayAccumStore(adagrad_initial)
+                if isinstance(self.host_table, VirtualHostTable)
+                else DenseAccumStore(self.num_embeddings, adagrad_initial)
+            )
+            self.adagrad_initial = float(adagrad_initial)
+        else:
+            self.cache_accum = None
+            self.host_accum = None
 
         self.dataset_freq: Optional[jnp.ndarray] = None
         if ids_freq_mapping is not None:
@@ -515,7 +559,9 @@ class CachedEmbeddingBag:
                     self.cache_weight, slots_dev,
                     out_dtype="bfloat16" if self._transfer_bf16 else None,
                 )
-                self._pending_wb.append((ev_rows_c[wb_mask], wb_mask, e - s, vals_dev))
+                self._pending_wb.append(
+                    (ev_rows_c[wb_mask], wb_mask, e - s, vals_dev, None)
+                )
                 n_wb += int(wb_mask.sum())
             # ---- admit missing rows (host -> HBM) ----
             t0 = time.perf_counter()
@@ -558,8 +604,14 @@ class CachedEmbeddingBag:
                 synth_slots=empty_i, synth_rows=empty_i, synth_bounds=empty_f,
                 fetch_slots=empty_i,
                 fetch_payload=np.zeros((0, self.embedding_dim), pay_dt),
+                fetch_accum=empty_f,
                 admit_slots=hp.admit_slots, evict_rows=hp.evict_rows,
             )
+        # In-flight writebacks of any admit row must LAND first: until a
+        # trained row's writeback reaches the host table its written-bit is
+        # unset, and misclassifying it as fresh would re-synthesize its INIT
+        # value, silently losing training.
+        self._ensure_clean(hp.admit_rows, block=False)
         if self.device_init:
             with self._host_lock:
                 written = self.host_table.written_mask(hp.admit_rows)
@@ -591,17 +643,23 @@ class CachedEmbeddingBag:
             t0 = time.perf_counter()
             with self._host_lock:
                 vals = self.host_table.gather(rows_c)
+                fetch_accum = (
+                    self.host_accum.gather(rows_c).astype(np.float32)
+                    if self.host_accum is not None
+                    else empty_f
+                )
             fetch_payload = vals.astype(pay_dt) if vals.dtype != pay_dt else vals
             self.stats.swap_in_bytes += n_fetch * self.embedding_dim * 4
             self.stats.swap_in_time += time.perf_counter() - t0
         else:
             fetch_slots = empty_i
             fetch_payload = np.zeros((0, self.embedding_dim), pay_dt)
+            fetch_accum = empty_f
         return WindowStaging(
             slot_ids=hp.slot_ids.reshape(out_shape),
             synth_slots=synth_slots, synth_rows=synth_rows,
             synth_bounds=synth_bounds, fetch_slots=fetch_slots,
-            fetch_payload=fetch_payload,
+            fetch_payload=fetch_payload, fetch_accum=fetch_accum,
             admit_slots=hp.admit_slots, evict_rows=hp.evict_rows,
         )
 
@@ -624,11 +682,19 @@ class CachedEmbeddingBag:
             if wb_mask.any():
                 slots_c = np.full((_bucket(e - s),), -1, np.int32)
                 slots_c[: e - s] = ws.admit_slots[s:e]
+                slots_dev = jnp.array(slots_c)
                 vals_dev = gather_slots(
-                    self.cache_weight, jnp.array(slots_c),
+                    self.cache_weight, slots_dev,
                     out_dtype="bfloat16" if self._transfer_bf16 else None,
                 )
-                self._pending_wb.append((ev_rows_c[wb_mask], wb_mask, e - s, vals_dev))
+                accum_dev = (
+                    gather_slots(self.cache_accum[:, None], slots_dev)
+                    if self.cache_accum is not None
+                    else None
+                )
+                self._pending_wb.append(
+                    (ev_rows_c[wb_mask], wb_mask, e - s, vals_dev, accum_dev)
+                )
                 n_wb += int(wb_mask.sum())
         self.stats.num_write_back_history.append(n_wb)
         self._submit_writebacks()
@@ -662,7 +728,9 @@ class CachedEmbeddingBag:
                     self.cache_weight, jnp.array(slots_c),
                     out_dtype="bfloat16" if self._transfer_bf16 else None,
                 )
-                self._pending_wb.append((ev_rows_c[wb_mask], wb_mask, e - s, vals_dev))
+                self._pending_wb.append(
+                    (ev_rows_c[wb_mask], wb_mask, e - s, vals_dev, None)
+                )
                 n_wb += int(wb_mask.sum())
         self.stats.num_write_back_history.append(n_wb)
         # ---- 2) split admits: never-trained rows synthesize ON DEVICE --------
@@ -683,10 +751,16 @@ class CachedEmbeddingBag:
             rows_c[:n_fresh] = f_rows
             slots_c[:n_fresh] = f_slots
             bounds_c[:n_fresh] = f_bounds
+            slots_dev = jnp.array(slots_c)
             self.cache_weight = scatter_synth_admits(
-                self.cache_weight, jnp.array(slots_c), jnp.array(rows_c),
+                self.cache_weight, slots_dev, jnp.array(rows_c),
                 jnp.array(bounds_c), self._seed_u32,
             )
+            if self.cache_accum is not None:
+                self.cache_accum = _scatter_accum(
+                    self.cache_accum, slots_dev,
+                    jnp.full((b,), self.adagrad_initial, jnp.float32),
+                )
             self.stats.synth_rows += n_fresh
         # ---- 3) fetch previously-trained rows from the host table ------------
         if n_fresh < n_miss:
@@ -705,9 +779,17 @@ class CachedEmbeddingBag:
                 payload = (
                     vals.astype(ml_dtypes.bfloat16) if self._transfer_bf16 else vals
                 )
+                slots_dev = jnp.array(slots_c)
                 self.cache_weight = scatter_admits(
-                    self.cache_weight, jnp.array(slots_c), jnp.array(payload)
+                    self.cache_weight, slots_dev, jnp.array(payload)
                 )
+                if self.cache_accum is not None:
+                    acc_c = np.zeros((b,), np.float32)
+                    with self._host_lock:
+                        acc_c[: e - s] = self.host_accum.gather(rows_c[: e - s])
+                    self.cache_accum = _scatter_accum(
+                        self.cache_accum, slots_dev, jnp.array(acc_c)
+                    )
                 self.stats.swap_in_bytes += (e - s) * self.embedding_dim * 4
                 self.stats.swap_in_time += time.perf_counter() - t0
         self._submit_writebacks()
@@ -717,18 +799,21 @@ class CachedEmbeddingBag:
         items, self._pending_wb = self._pending_wb, []
         if not items:
             return
-        rows = np.concatenate([ev for ev, _, _, _ in items])
+        rows = np.concatenate([item[0] for item in items])
         fut = self._wb_exec.submit(self._do_drain, items)
         self._wb_futures.append((fut, rows))
 
     def _do_drain(self, items) -> None:
         t0 = time.perf_counter()
-        for ev_rows, wb_mask, n, vals_dev in items:
+        for ev_rows, wb_mask, n, vals_dev, accum_dev in items:
             vals = np.asarray(vals_dev)  # blocks until the enqueued gather ran
             if vals.dtype != np.float32:
                 vals = vals.astype(np.float32)
             with self._host_lock:
                 self.host_table.scatter(ev_rows, vals[:n][wb_mask])
+                if accum_dev is not None:
+                    acc = np.asarray(accum_dev).reshape(-1)
+                    self.host_accum.scatter(ev_rows, acc[:n][wb_mask])
             self.stats.swap_out_bytes += ev_rows.shape[0] * self.embedding_dim * 4
         self.stats.swap_out_time += time.perf_counter() - t0
 
@@ -786,8 +871,6 @@ class CachedEmbeddingBag:
         follow include_last_offset semantics. When ``self.cache_op`` the ids are
         global and cache maintenance runs inline; otherwise they are already
         cache-slot ids from a prior prepare_ids."""
-        if per_sample_weights is not None:
-            raise NotImplementedError("per_sample_weights is not supported")
         values = jnp.asarray(values, dtype=jnp.int32)
         if self.cache_op:
             values = self.prepare_ids(values)
@@ -801,7 +884,14 @@ class CachedEmbeddingBag:
             batch_size=batch_size,
             pooling=1 if offsets is None else None,
         )
-        out = self.lookup(feats)
+        out = embedding_bag(
+            self.cache_weight, feats, mode=self.mode,
+            use_pallas=self.use_pallas_lookup,
+            per_sample_weights=(
+                None if per_sample_weights is None
+                else jnp.asarray(per_sample_weights, jnp.float32)
+            ),
+        )
         if shape_hook is not None:
             out = shape_hook(out)
         return out
@@ -830,8 +920,14 @@ class CachedEmbeddingBag:
             b = _bucket(e - s)
             slots_c = np.full((b,), -1, np.int32)
             slots_c[: e - s] = resident_slots[s:e]
-            vals = np.asarray(gather_slots(self.cache_weight, jnp.asarray(slots_c)))
+            slots_dev = jnp.asarray(slots_c)
+            vals = np.asarray(gather_slots(self.cache_weight, slots_dev))
             self.host_table.scatter(resident_rows[s:e], vals[: e - s])
+            if self.cache_accum is not None:
+                acc = np.asarray(
+                    gather_slots(self.cache_accum[:, None], slots_dev)
+                ).reshape(-1)
+                self.host_accum.scatter(resident_rows[s:e], acc[: e - s])
         self.stats.swap_out_bytes += n * self.embedding_dim * 4
         self.stats.swap_out_time += time.perf_counter() - t0
 
@@ -848,6 +944,8 @@ class CachedEmbeddingBag:
         else:
             self.state = init_cache_state(self.num_embeddings, self.capacity)
         self.cache_weight = jnp.zeros_like(self.cache_weight)
+        if self.cache_accum is not None:
+            self.cache_accum = jnp.full_like(self.cache_accum, self.adagrad_initial)
         if self._host_freq is not None:
             self._warmup(0.7)
 
@@ -870,3 +968,6 @@ class CachedEmbeddingBag:
     def set_param(self, cache_weight: jnp.ndarray) -> None:
         """Rebind the trainable cache weight after an optimizer step."""
         self.cache_weight = cache_weight
+
+    def set_accum(self, cache_accum: jnp.ndarray) -> None:
+        self.cache_accum = cache_accum

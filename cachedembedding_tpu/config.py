@@ -82,6 +82,13 @@ class DLRMConfig:
     # far below dataset noise (E2E AUROC parity is tested).
     use_sparse_embed_grad: bool = False  # --use_sparse_embed_grad: force scatter-add SGD
 
+    # embedding optimizer (beyond-reference: the reference is SGD-only).
+    # "rowwise_adagrad": per-row accumulator that tiers with the cache
+    # (HBM (capacity,) state + host master store; admitted/evicted with rows).
+    embedding_optimizer: str = "sgd"
+    adagrad_eps: float = 1e-10
+    adagrad_initial: float = 0.0
+
     cache: CacheConfig = dataclasses.field(default_factory=CacheConfig)
 
     @property

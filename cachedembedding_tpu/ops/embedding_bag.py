@@ -33,6 +33,7 @@ def bag_pool_uniform(
     weight: jnp.ndarray,
     ids_fbp: jnp.ndarray,
     mode: str = "sum",
+    per_sample_weights: jnp.ndarray = None,  # (F, B, P) — sum mode only
 ) -> jnp.ndarray:
     """Pooled lookup for uniform pooling.
 
@@ -41,6 +42,10 @@ def bag_pool_uniform(
     (/root/reference/baselines/models/dlrm.py:99-101).
     """
     rows = jnp.take(weight, ids_fbp, axis=0)  # (F, B, P, D)
+    if per_sample_weights is not None:
+        if mode != "sum":
+            raise ValueError("per_sample_weights requires mode='sum'")
+        rows = rows.astype(jnp.float32) * per_sample_weights[..., None]
     # Low-precision weights (bf16 rows gather 4x faster than f32 on TPU — the
     # 256-byte row hits XLA's vectorized gather path) still pool/accumulate in
     # f32; grads convert back to the weight dtype only at the final scatter.
@@ -61,6 +66,7 @@ def bag_pool_ragged(
     segment_ids: jnp.ndarray,
     num_bags: int,
     mode: str = "sum",
+    per_sample_weights: jnp.ndarray = None,  # (L,) — sum mode only
 ) -> jnp.ndarray:
     """Pooled lookup for ragged bags.
 
@@ -71,6 +77,10 @@ def bag_pool_ragged(
     rows = jnp.take(weight, values, axis=0)  # (L, D)
     if rows.dtype != jnp.float32:
         rows = rows.astype(jnp.float32)  # accumulate ragged bags in f32
+    if per_sample_weights is not None:
+        if mode != "sum":
+            raise ValueError("per_sample_weights requires mode='sum'")
+        rows = rows * per_sample_weights[:, None]
     pooled = jax.ops.segment_sum(rows, segment_ids, num_segments=num_bags, indices_are_sorted=True)
     if mode == "mean":
         counts = jax.ops.segment_sum(
@@ -90,19 +100,28 @@ def embedding_bag(
     features: RaggedFeatures,
     mode: str = "sum",
     use_pallas: bool = False,
+    per_sample_weights: jnp.ndarray = None,  # (L,) flat, feature-major
 ) -> jnp.ndarray:
     """Dispatching lookup: (B, F, D) for uniform pooling, else (F*B, D) reshaped to
     (B, F, D) from the feature-major ragged stream."""
     F, B = features.num_features, features.batch_size
     if features.pooling is not None:
-        if use_pallas and features.pooling == 1:
+        if use_pallas and features.pooling == 1 and per_sample_weights is None:
             from cachedembedding_tpu.ops.pallas_bag import gather_rows_pallas
 
             # P == 1: pure gather, no pooling reduction needed.
             flat = gather_rows_pallas(weight, features.values)  # (F*B, D)
             return jnp.transpose(flat.reshape(F, B, -1), (1, 0, 2))
-        return bag_pool_uniform(weight, features.to_fbp(), mode=mode)
+        psw = (
+            None
+            if per_sample_weights is None
+            else per_sample_weights.reshape(F, B, features.pooling)
+        )
+        return bag_pool_uniform(
+            weight, features.to_fbp(), mode=mode, per_sample_weights=psw
+        )
     pooled = bag_pool_ragged(
-        weight, features.values, features.segment_ids(), num_bags=F * B, mode=mode
+        weight, features.values, features.segment_ids(), num_bags=F * B, mode=mode,
+        per_sample_weights=per_sample_weights,
     )  # (F*B, D) feature-major
     return jnp.transpose(pooled.reshape(F, B, -1), (1, 0, 2))

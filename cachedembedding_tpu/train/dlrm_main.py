@@ -75,6 +75,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--profile_dir", type=str, default="")
     p.add_argument("--memory_fraction", type=float, default=None)
     p.add_argument("--compute_dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--embedding_optimizer", choices=["sgd", "rowwise_adagrad"],
+                   default="sgd", help="embedding-table optimizer; rowwise_adagrad "
+                   "state tiers with the cache (beyond-reference feature)")
+    p.add_argument("--adagrad_eps", type=float, default=1e-10)
     return p.parse_args(argv)
 
 
@@ -134,6 +138,8 @@ def build_config(args):
         use_tablewise=args.use_tablewise,
         fused_op=args.fused_op,
         compute_dtype=args.compute_dtype,
+        embedding_optimizer=args.embedding_optimizer,
+        adagrad_eps=args.adagrad_eps,
         cache=cache,
     )
     return cfg

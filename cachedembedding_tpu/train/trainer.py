@@ -139,9 +139,9 @@ def _train_step(
     jax.jit,
     static_argnames=(
         "num_features", "batch_size", "pooling", "mode", "compute_dtype_name",
-        "use_pallas", "sparse_grad", "model",
+        "use_pallas", "sparse_grad", "model", "optimizer", "adagrad_eps",
     ),
-    donate_argnames=("dense_params", "cache_weight"),
+    donate_argnames=("dense_params", "cache_weight", "cache_accum"),
 )
 def _train_window_step(
     dense_params: DLRMParams,
@@ -151,6 +151,7 @@ def _train_window_step(
     labels: jnp.ndarray,        # (P, B)
     sparse_lrs: jnp.ndarray,    # (P,)
     dense_lrs: jnp.ndarray,     # (P,)
+    cache_accum: jnp.ndarray = None,
     *,
     num_features: int,
     batch_size: int,
@@ -160,6 +161,8 @@ def _train_window_step(
     use_pallas: bool,
     sparse_grad: bool,
     model: str = "dlrm",
+    optimizer: str = "sgd",
+    adagrad_eps: float = 1e-10,
 ):
     """One ENTIRE prefetch window of SGD steps as a single ``lax.scan``.
 
@@ -176,16 +179,22 @@ def _train_window_step(
         num_features=num_features, batch_size=batch_size, pooling=pooling,
         mode=mode, compute_dtype=jnp.dtype(compute_dtype_name),
         use_pallas=use_pallas, sparse_grad=sparse_grad, model=model,
+        optimizer=optimizer, adagrad_eps=adagrad_eps, cache_accum=cache_accum,
     )
 
 
 def _scan_window(
     dense_params, cache_weight, xs,
     *, num_features, batch_size, pooling, mode, compute_dtype, use_pallas,
-    sparse_grad, model="dlrm",
+    sparse_grad, model="dlrm", optimizer="sgd", adagrad_eps=1e-10,
+    cache_accum=None,
 ):
     def body(carry, xs):
-        dp, cw = carry
+        if optimizer == "rowwise_adagrad":
+            dp, cw, acc = carry
+        else:
+            dp, cw = carry
+            acc = None
         d, v, l, slr, dlr = xs
         feats = RaggedFeatures(
             values=v, offsets=None, num_features=num_features,
@@ -214,13 +223,25 @@ def _scan_window(
             loss, (g_dense, g_cache) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
                 dp, cw
             )
+            g32 = g_cache.astype(jnp.float32)
+            if optimizer == "rowwise_adagrad":
+                # torchrec ROWWISE_ADAGRAD: acc += mean_d(g^2); w -= lr*g/(sqrt(acc)+eps).
+                # Rows untouched this step have g == 0, so their state is a no-op.
+                acc = acc + jnp.mean(g32 * g32, axis=1)
+                g32 = g32 / (jnp.sqrt(acc) + adagrad_eps)[:, None]
             # update arithmetic in f32, ONE rounding back to the storage dtype
-            cw = (
-                cw.astype(jnp.float32) - slr * g_cache.astype(jnp.float32)
-            ).astype(cw.dtype)
+            cw = (cw.astype(jnp.float32) - slr * g32).astype(cw.dtype)
         dp = jax.tree_util.tree_map(lambda p, g: p - dlr * g, dp, g_dense)
+        if optimizer == "rowwise_adagrad":
+            return (dp, cw, acc), loss
         return (dp, cw), loss
 
+    if optimizer == "rowwise_adagrad":
+        assert not sparse_grad, "rowwise adagrad uses the dense-grad path"
+        (dense_params, cache_weight, cache_accum), losses = jax.lax.scan(
+            body, (dense_params, cache_weight, cache_accum), xs
+        )
+        return dense_params, cache_weight, cache_accum, losses
     (dense_params, cache_weight), losses = jax.lax.scan(
         body, (dense_params, cache_weight), xs
     )
@@ -253,8 +274,9 @@ def _unpack_ids(b: jnp.ndarray, P: int, L: int, width: int) -> jnp.ndarray:
     static_argnames=(
         "layout", "num_features", "batch_size", "pooling", "mode",
         "compute_dtype_name", "use_pallas", "sparse_grad", "model",
+        "optimizer", "adagrad_eps", "adagrad_initial",
     ),
-    donate_argnames=("dense_params", "cache_weight"),
+    donate_argnames=("dense_params", "cache_weight", "cache_accum"),
 )
 def _train_window_packed(
     dense_params: DLRMParams,
@@ -263,6 +285,7 @@ def _train_window_packed(
     sparse_lrs: jnp.ndarray,    # (P,)
     dense_lrs: jnp.ndarray,     # (P,)
     seed: jnp.ndarray,          # () uint32 — canonical init seed (synth admits)
+    cache_accum: jnp.ndarray = None,  # (C,) f32 rowwise-adagrad state
     *,
     layout: tuple,  # (P, L, B, Din, dense_bf16, id_width_bits, synth_bucket,
     # fetch_bucket, fetch_bf16) — sb/fb are 0 when the window has no such admits
@@ -274,6 +297,9 @@ def _train_window_packed(
     use_pallas: bool,
     sparse_grad: bool,
     model: str = "dlrm",
+    optimizer: str = "sgd",
+    adagrad_eps: float = 1e-10,
+    adagrad_initial: float = 0.0,
 ):
     """Fused window step fed by ONE packed uint8 buffer.
 
@@ -296,6 +322,7 @@ def _train_window_packed(
         packed[a:b].reshape(P, B, Din, dsize), dense_dt
     ).astype(jnp.float32)
     labels = packed[b:c].reshape(P, B).astype(jnp.float32)
+    C_pad = cache_weight.shape[0]
     if sb:
         s0, s1, s2 = c, c + 4 * sb, c + 8 * sb
         c = c + 12 * sb
@@ -303,27 +330,38 @@ def _train_window_packed(
         s_rows = jax.lax.bitcast_convert_type(packed[s1:s2].reshape(sb, 4), jnp.int32)
         s_bounds = jax.lax.bitcast_convert_type(packed[s2:c].reshape(sb, 4), jnp.float32)
         vals = synth_rows(s_rows, s_bounds, seed, D)
-        cache_weight = cache_weight.at[
-            jnp.where(s_slots >= 0, s_slots, cache_weight.shape[0])
-        ].set(vals.astype(cache_weight.dtype), mode="drop")
+        safe = jnp.where(s_slots >= 0, s_slots, C_pad)
+        cache_weight = cache_weight.at[safe].set(
+            vals.astype(cache_weight.dtype), mode="drop"
+        )
+        if optimizer == "rowwise_adagrad":
+            # fresh rows start from the initial accumulator
+            cache_accum = cache_accum.at[safe].set(adagrad_initial, mode="drop")
     if fb:
         f0, f1 = c, c + 4 * fb
         fsize = 2 if fetch_bf16 else 4
-        c = f1 + fb * D * fsize
+        c2 = f1 + fb * D * fsize
         f_slots = jax.lax.bitcast_convert_type(packed[f0:f1].reshape(fb, 4), jnp.int32)
         fetch_dt = jnp.bfloat16 if fetch_bf16 else jnp.float32
         payload = jax.lax.bitcast_convert_type(
-            packed[f1:c].reshape(fb, D, fsize), fetch_dt
+            packed[f1:c2].reshape(fb, D, fsize), fetch_dt
         )
-        cache_weight = cache_weight.at[
-            jnp.where(f_slots >= 0, f_slots, cache_weight.shape[0])
-        ].set(payload.astype(cache_weight.dtype), mode="drop")
+        safe = jnp.where(f_slots >= 0, f_slots, C_pad)
+        cache_weight = cache_weight.at[safe].set(
+            payload.astype(cache_weight.dtype), mode="drop"
+        )
+        if optimizer == "rowwise_adagrad":
+            f_accum = jax.lax.bitcast_convert_type(
+                packed[c2 : c2 + 4 * fb].reshape(fb, 4), jnp.float32
+            )
+            cache_accum = cache_accum.at[safe].set(f_accum, mode="drop")
     return _scan_window(
         dense_params, cache_weight,
         (dense_feats, slot_values, labels, sparse_lrs, dense_lrs),
         num_features=num_features, batch_size=batch_size, pooling=pooling,
         mode=mode, compute_dtype=jnp.dtype(compute_dtype_name),
         use_pallas=use_pallas, sparse_grad=sparse_grad, model=model,
+        optimizer=optimizer, adagrad_eps=adagrad_eps, cache_accum=cache_accum,
     )
 
 
@@ -373,6 +411,8 @@ class CachedDLRMTrainer:
             dtype=jnp.dtype(cache_cfg.cache_dtype),
             approx_evict=cache_cfg.approx_evict,
             planner=cache_cfg.planner,
+            optimizer=cfg.embedding_optimizer,
+            adagrad_initial=cfg.adagrad_initial,
             use_pallas_lookup=cache_cfg.use_pallas_lookup,
             weight_init=cache_cfg.weight_init,
             transfer_dtype=cache_cfg.transfer_dtype,
@@ -484,6 +524,10 @@ class CachedDLRMTrainer:
                         extras.fetch_slots.view(np.uint8),
                         np.ascontiguousarray(extras.fetch_payload).reshape(-1).view(np.uint8),
                     ]
+                    if getattr(self.embed, "cache_accum", None) is not None:
+                        acc = np.zeros((fb,), np.float32)
+                        acc[: extras.fetch_accum.shape[0]] = extras.fetch_accum
+                        parts.append(acc.view(np.uint8))
             buf_dev = jax.device_put(np.concatenate(parts))
             layout = (P, L, B, Din, dense_bf16, id_width, sb, fb, fetch_bf16)
             pw_out = extras if extras is not None else pw
@@ -539,17 +583,23 @@ class CachedDLRMTrainer:
             use_pallas=cfg.cache.use_pallas_lookup,
             model=cfg.model,
         )
+        accum = getattr(self.embed, "cache_accum", None)
+        if accum is not None:
+            common["optimizer"] = "rowwise_adagrad"
+            common["adagrad_eps"] = cfg.adagrad_eps
         if isinstance(window_input, tuple) and window_input[0] == "packed":
             _, buf_dev, layout = window_input
             L = layout[1]
-            sparse_grad = (
+            sparse_grad = accum is None and (
                 cfg.use_sparse_embed_grad or self.embed.capacity > 4 * L
             ) and f0.pooling is not None
-            self.dense_params, new_cache, losses = _train_window_packed(
+            out = _train_window_packed(
                 self.dense_params, self.embed.cache_weight, buf_dev,
                 sparse_lrs, dense_lrs,
                 getattr(self.embed, "_seed_u32", jnp.uint32(0)),
+                accum,
                 layout=layout, sparse_grad=sparse_grad,
+                adagrad_initial=getattr(self.embed, "adagrad_initial", 0.0),
                 **common,
             )
         else:
@@ -557,14 +607,19 @@ class CachedDLRMTrainer:
             L = int(slot_vals.shape[1])
             dense = np.stack([np.asarray(b.dense_features) for b in batches])
             labels = np.stack([np.asarray(b.labels) for b in batches])
-            sparse_grad = (
+            sparse_grad = accum is None and (
                 cfg.use_sparse_embed_grad or self.embed.capacity > 4 * L
             ) and f0.pooling is not None
-            self.dense_params, new_cache, losses = _train_window_step(
+            out = _train_window_step(
                 self.dense_params, self.embed.cache_weight, jnp.asarray(dense),
-                slot_vals, jnp.asarray(labels), sparse_lrs, dense_lrs,
+                slot_vals, jnp.asarray(labels), sparse_lrs, dense_lrs, accum,
                 sparse_grad=sparse_grad, **common,
             )
+        if accum is not None:
+            self.dense_params, new_cache, new_accum, losses = out
+            self.embed.set_accum(new_accum)
+        else:
+            self.dense_params, new_cache, losses = out
         self.embed.set_param(new_cache)
         return losses
 

@@ -68,9 +68,17 @@ def save_checkpoint(path: str, trainer, extra: Dict[str, Any] | None = None) -> 
     else:
         raise TypeError(f"unknown host table {type(ht)}")
 
+    if getattr(trainer.embed, "host_accum", None) is not None:
+        st = trainer.embed.host_accum.save_state()
+        if st["kind"] == "dense":
+            np.save(os.path.join(path, "accum.npy"), st["arr"])
+        else:
+            np.savez(os.path.join(path, "accum.npz"), rows=st["rows"], vals=st["vals"])
+
     meta = {
         "format_version": FORMAT_VERSION,
         "step": getattr(trainer, "_step_idx", 0),
+        "optimizer": getattr(trainer.embed, "optimizer", "sgd"),
         "table_kind": table_kind,
         "num_embeddings": trainer.embed.num_embeddings,
         "embedding_dim": trainer.embed.embedding_dim,
@@ -118,6 +126,16 @@ def load_checkpoint(path: str, trainer) -> int:
         assert isinstance(ht, VirtualHostTable)
         if ov["rows"].size:
             ht.scatter(ov["rows"], ov["vals"])
+
+    if getattr(trainer.embed, "host_accum", None) is not None:
+        acc_npy = os.path.join(path, "accum.npy")
+        acc_npz = os.path.join(path, "accum.npz")
+        if os.path.exists(acc_npy):
+            np.copyto(trainer.embed.host_accum.arr, np.load(acc_npy, mmap_mode="r"))
+        elif os.path.exists(acc_npz):
+            z = np.load(acc_npz)
+            if z["rows"].size:
+                trainer.embed.host_accum.scatter(z["rows"], z["vals"])
 
     # cache is derived state: re-warm it
     trainer.embed.reset_cache()

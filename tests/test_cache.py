@@ -231,3 +231,19 @@ class TestForwardAPI:
         bag.set_cache_op(False)
         out = bag.forward(np.asarray(slots), num_features=3, batch_size=1)
         np.testing.assert_allclose(np.asarray(out).reshape(3, 8), bag.host_weight[ids])
+
+
+def test_per_sample_weights_sum():
+    """EmbeddingBag per_sample_weights semantics (reference forward surface,
+    /root/reference/benchmark/benchmark_fbgemm_uvm.py:148)."""
+    bag = make_bag(N=50, D=4, C=32)
+    values = np.array([1, 2, 3], np.int32)
+    offsets = np.array([0, 2, 3], np.int32)
+    w = np.array([0.5, 2.0, 3.0], np.float32)
+    out = bag.forward(values, offsets, per_sample_weights=w,
+                      num_features=1, batch_size=2)
+    expect = np.stack([
+        0.5 * bag.host_weight[1] + 2.0 * bag.host_weight[2],
+        3.0 * bag.host_weight[3],
+    ]).reshape(2, 1, 4)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-6)
