@@ -365,6 +365,91 @@ def _train_window_packed(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "layout", "num_features", "batch_size", "pooling", "mode",
+        "compute_dtype_name", "use_pallas", "model", "optimizer",
+    ),
+    donate_argnames=("cache_weight", "cache_accum"),
+)
+def _eval_window_packed(
+    dense_params: DLRMParams,
+    cache_weight: jnp.ndarray,
+    packed: jnp.ndarray,
+    seed: jnp.ndarray,
+    cache_accum: jnp.ndarray = None,
+    *,
+    layout: tuple,
+    num_features: int,
+    batch_size: int,
+    pooling: int,
+    mode: str,
+    compute_dtype_name: str,
+    use_pallas: bool,
+    model: str = "dlrm",
+    optimizer: str = "sgd",
+):
+    """Forward-only fused window: same single packed transfer + in-program
+    admits as training, scoring P batches in one execute. Returns
+    (cache_weight, cache_accum, (P, B) probabilities)."""
+    compute_dtype = jnp.dtype(compute_dtype_name)
+    P, L, B, Din, dense_bf16, id_width, sb, fb, fetch_bf16 = layout
+    D = cache_weight.shape[1]
+    a = P * ({16: 2 * L, 20: 5 * (L // 2), 24: 3 * L, 32: 4 * L}[id_width])
+    dsize = 2 if dense_bf16 else 4
+    b = a + P * B * Din * dsize
+    c = b + P * B
+    slot_values = _unpack_ids(packed[:a], P, L, id_width)
+    dense_dt = jnp.bfloat16 if dense_bf16 else jnp.float32
+    dense_feats = jax.lax.bitcast_convert_type(
+        packed[a:b].reshape(P, B, Din, dsize), dense_dt
+    ).astype(jnp.float32)
+    C_pad = cache_weight.shape[0]
+    if sb:
+        s0, s1, s2 = c, c + 4 * sb, c + 8 * sb
+        c = c + 12 * sb
+        s_slots = jax.lax.bitcast_convert_type(packed[s0:s1].reshape(sb, 4), jnp.int32)
+        s_rows = jax.lax.bitcast_convert_type(packed[s1:s2].reshape(sb, 4), jnp.int32)
+        s_bounds = jax.lax.bitcast_convert_type(packed[s2:c].reshape(sb, 4), jnp.float32)
+        vals = synth_rows(s_rows, s_bounds, seed, D)
+        safe = jnp.where(s_slots >= 0, s_slots, C_pad)
+        cache_weight = cache_weight.at[safe].set(
+            vals.astype(cache_weight.dtype), mode="drop"
+        )
+        if optimizer == "rowwise_adagrad":
+            cache_accum = cache_accum.at[safe].set(0.0, mode="drop")
+    if fb:
+        f0, f1 = c, c + 4 * fb
+        fsize = 2 if fetch_bf16 else 4
+        c2 = f1 + fb * D * fsize
+        f_slots = jax.lax.bitcast_convert_type(packed[f0:f1].reshape(fb, 4), jnp.int32)
+        fetch_dt = jnp.bfloat16 if fetch_bf16 else jnp.float32
+        payload = jax.lax.bitcast_convert_type(
+            packed[f1:c2].reshape(fb, D, fsize), fetch_dt
+        )
+        safe = jnp.where(f_slots >= 0, f_slots, C_pad)
+        cache_weight = cache_weight.at[safe].set(
+            payload.astype(cache_weight.dtype), mode="drop"
+        )
+        if optimizer == "rowwise_adagrad":
+            f_accum = jax.lax.bitcast_convert_type(
+                packed[c2 : c2 + 4 * fb].reshape(fb, 4), jnp.float32
+            )
+            cache_accum = cache_accum.at[safe].set(f_accum, mode="drop")
+
+    def score(d, v):
+        feats = RaggedFeatures(
+            values=v, offsets=None, num_features=num_features,
+            batch_size=batch_size, pooling=pooling,
+        )
+        sparse_bfd = embedding_bag(cache_weight, feats, mode=mode, use_pallas=use_pallas)
+        return _model_probs(model, dense_params, d, sparse_bfd, compute_dtype)
+
+    probs = jax.vmap(score)(dense_feats, slot_values)
+    return cache_weight, cache_accum, probs
+
+
 @partial(jax.jit, static_argnames=("mode", "compute_dtype_name", "use_pallas", "model"))
 def _eval_step(
     dense_params: DLRMParams,
@@ -755,9 +840,11 @@ class CachedDLRMTrainer:
 
     def evaluate(self, data: Iterable[Batch], readback_every: int = 32) -> dict:
         """AUROC/Accuracy eval (/root/reference/recsys/dlrm_main.py:300-333).
-        Per-batch scores stay on device and are read back in blocks — a
-        device->host round trip costs ~70ms on tunneled links, so per-batch
-        readback would dominate eval wall time."""
+        Uniform-pooling batches score through the same fused-window machinery
+        as training (one packed transfer + one execute per prefetch_num
+        batches, cache maintenance via the staged admits); ragged batches fall
+        back to per-batch steps. Scores stay on device and are read back in
+        blocks — a device->host round trip costs ~70ms on tunneled links."""
         cfg = self.cfg
         metrics = StreamingMetrics()
         pending: List[jnp.ndarray] = []
@@ -769,6 +856,65 @@ class CachedDLRMTrainer:
                 metrics.update(scores, np.concatenate(pending_labels))
                 pending.clear()
                 pending_labels.clear()
+
+        pn = max(1, cfg.cache.prefetch_num)
+        it = iter(data)
+        staged_ok = (
+            isinstance(self.embed, CachedEmbeddingBag)
+            and self.embed._dir is not None
+        )
+        while staged_ok:
+            window: List[Batch] = []
+            for _ in range(pn):
+                try:
+                    window.append(next(it))
+                except StopIteration:
+                    break
+            if not window:
+                drain()
+                return metrics.compute()
+            pw, sv = self._begin_window(window)
+            if not (isinstance(sv, tuple) and sv[0] == "packed"):
+                # ragged window: fall through to the per-batch path below
+                # (sv already carries per-batch slot features)
+                self._finish_window(pw)
+                for b, sf in zip(window, sv):
+                    probs = _eval_step(
+                        self.dense_params, self.embed.cache_weight,
+                        jnp.asarray(b.dense_features), sf,
+                        mode=cfg.reduction_mode,
+                        compute_dtype_name=cfg.compute_dtype,
+                        use_pallas=cfg.cache.use_pallas_lookup,
+                        model=cfg.model,
+                    )
+                    pending.append(probs)
+                    pending_labels.append(np.asarray(b.labels))
+                continue
+            self._finish_window(pw)
+            _, buf_dev, layout = sv
+            accum = getattr(self.embed, "cache_accum", None)
+            new_cache, new_accum, probs = _eval_window_packed(
+                self.dense_params, self.embed.cache_weight, buf_dev,
+                getattr(self.embed, "_seed_u32", jnp.uint32(0)), accum,
+                layout=layout,
+                num_features=window[0].sparse_features.num_features,
+                batch_size=window[0].sparse_features.batch_size,
+                pooling=window[0].sparse_features.pooling,
+                mode=cfg.reduction_mode,
+                compute_dtype_name=cfg.compute_dtype,
+                use_pallas=cfg.cache.use_pallas_lookup,
+                model=cfg.model,
+                optimizer="rowwise_adagrad" if accum is not None else "sgd",
+            )
+            self.embed.set_param(new_cache)
+            if accum is not None:
+                self.embed.set_accum(new_accum)
+            pending.append(probs.reshape(-1))
+            pending_labels.append(
+                np.concatenate([np.asarray(b.labels) for b in window])
+            )
+            if len(pending) * pn >= readback_every:
+                drain()
 
         for b in data:
             # Eval runs with cache maintenance inline (cache_op=True analog,
