@@ -14,7 +14,7 @@ identity remapping and no host traffic, so the pipelined trainer runs unchanged
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

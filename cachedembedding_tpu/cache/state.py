@@ -33,7 +33,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from cachedembedding_tpu.ops.unique import unique_fixed, unique_mask
+from cachedembedding_tpu.ops.unique import unique_mask
 
 
 class EvictionStrategy(enum.Enum):

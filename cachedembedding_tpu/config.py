@@ -10,7 +10,7 @@ flags onto them 1:1 so every reference flag has a home.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 
 @dataclasses.dataclass

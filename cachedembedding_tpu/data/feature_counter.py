@@ -11,7 +11,7 @@ has; here it is rank-0-written and mmap-loadable.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -17,7 +17,7 @@ matching /root/reference/recsys/datasets/criteo.py:170-173).
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 

@@ -5,7 +5,7 @@ the per-feature offset shift into the fused global id space."""
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Optional, Sequence
+from typing import Mapping, Sequence
 
 import numpy as np
 

@@ -18,7 +18,7 @@ interaction is one MXU matmul over the flattened embeddings.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Sequence
+from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -22,8 +22,7 @@ dynamics track the reference.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ The jitted ``train_step``/``eval_step`` encapsulate the whole hybrid topology;
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

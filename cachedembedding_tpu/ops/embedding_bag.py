@@ -20,9 +20,6 @@ All ops are differentiable w.r.t. ``weight`` only; ids are int and non-diff.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -13,13 +13,11 @@ compile time.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-from cachedembedding_tpu.jagged import RaggedFeatures
 from cachedembedding_tpu.parallel.mesh import AXIS
 
 

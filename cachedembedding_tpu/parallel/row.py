@@ -15,9 +15,6 @@ locally-hot rows (BASELINE.md >=2-host target).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

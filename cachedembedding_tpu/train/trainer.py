@@ -40,6 +40,9 @@ from cachedembedding_tpu.models.dlrm import (
     init_dlrm_dense,
 )
 from cachedembedding_tpu.models.deepfm import bce_probs, deepfm_forward, init_deepfm
+from cachedembedding_tpu.ops.embedding_bag import embedding_bag
+from cachedembedding_tpu.ops.synth_rows import synth_rows
+from cachedembedding_tpu.utils.metrics import StreamingMetrics
 
 
 def _model_loss(model, dp, dense, sparse_bfd, compute_dtype, labels):
@@ -58,9 +61,6 @@ def _model_probs(model, dp, dense, sparse_bfd, compute_dtype):
     if model == "deepfm":
         return deepfm_forward(dp, dense, sparse_bfd, compute_dtype)
     raise ValueError(f"unknown model {model!r}")
-from cachedembedding_tpu.ops.embedding_bag import embedding_bag
-from cachedembedding_tpu.ops.synth_rows import synth_rows
-from cachedembedding_tpu.utils.metrics import StreamingMetrics
 
 
 @dataclasses.dataclass
