@@ -37,6 +37,9 @@ class SyntheticLongTailDataset:
         seed: int = 0,
         learnable_labels: bool = True,
         global_ids: bool = True,
+        label_seed: int = 7919,  # SHARED across train/val/test splits: the
+        # label function is a property of the (synthetic) world, not of the
+        # sampling seed — otherwise held-out splits are unlearnable noise
     ):
         self.table_sizes = list(table_sizes)
         self.batch_size = batch_size
@@ -48,8 +51,9 @@ class SyntheticLongTailDataset:
         self.learnable_labels = learnable_labels
         self.global_ids = global_ids
         self.offsets = np.concatenate([[0], np.cumsum(self.table_sizes)]).astype(np.int64)
+        self.label_seed = label_seed
         if learnable_labels:
-            rng = np.random.default_rng(seed + 7919)
+            rng = np.random.default_rng(label_seed)
             # hidden logit contribution for the HEAD ids only (they recur often, so
             # a model can actually learn them in a short test run); tail ids get 0
             self._hidden = [

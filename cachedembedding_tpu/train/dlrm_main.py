@@ -73,6 +73,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="run 200 iters printing per-step loss + timing, then exit "
                         "(/root/reference/recsys/dlrm_main.py:464-495)")
     p.add_argument("--profile_dir", type=str, default="")
+    p.add_argument("--checkpoint_dir", type=str, default="",
+                   help="save a flush-coherent checkpoint here after each epoch "
+                        "(and resume from it at startup if present)")
     p.add_argument("--memory_fraction", type=float, default=None)
     p.add_argument("--compute_dtype", choices=["float32", "bfloat16"], default="float32")
     p.add_argument("--embedding_optimizer", choices=["sgd", "rowwise_adagrad"],
@@ -272,6 +275,15 @@ def main(argv=None) -> None:
         trainer = CachedDLRMTrainer(cfg, embed_override=embed)
     print(get_mem_info("after model init"), file=sys.stderr)
 
+    if args.checkpoint_dir:
+        import os
+
+        from cachedembedding_tpu.utils.checkpoint import load_checkpoint
+
+        if os.path.exists(os.path.join(args.checkpoint_dir, "meta.json")):
+            step = load_checkpoint(args.checkpoint_dir, trainer)
+            print(f"resumed from {args.checkpoint_dir} at step {step}", file=sys.stderr)
+
     train_data = get_data(args, cfg, "train")
     limit = args.limit_train_batches
 
@@ -324,6 +336,11 @@ def main(argv=None) -> None:
             f"hit_rate={report.hit_rate:.4f})"
         )
         trainer.embed.print_comm_stats()
+        if args.checkpoint_dir:
+            from cachedembedding_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(args.checkpoint_dir, trainer)
+            print(f"checkpoint saved to {args.checkpoint_dir}", file=sys.stderr)
         for stage, lim in [("val", args.limit_val_batches), ("test", args.limit_test_batches)]:
             data = get_data(args, cfg, stage)
             if lim:
