@@ -29,7 +29,11 @@ def log(msg: str) -> None:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--scale", choices=["kaggle", "small"], default="kaggle")
+    p.add_argument("--scale", choices=["kaggle", "small", "avazu", "terabyte"],
+                   default="kaggle",
+                   help="kaggle: 33.7M-row cached (headline); avazu: 9.4M-row "
+                        "FULLY-RESIDENT (no cache); terabyte: 177.9M-row cached; "
+                        "small: tiny smoke")
     p.add_argument("--iters", type=int, default=32)
     p.add_argument("--warmup-iters", type=int, default=8)
     p.add_argument("--repeats", type=int, default=3,
@@ -60,10 +64,31 @@ def main() -> None:
     from cachedembedding_tpu.data.synthetic import SyntheticLongTailDataset
     from cachedembedding_tpu.train.trainer import CachedDLRMTrainer
 
+    from cachedembedding_tpu.config import (
+        AVAZU_NUM_DENSE,
+        AVAZU_NUM_EMBEDDINGS_PER_FEATURE,
+        CRITEO_1TB_NUM_EMBEDDINGS_PER_FEATURE,
+    )
+
+    full_resident = False
+    baseline = BASELINE_EXAMPLES_PER_S
     if args.scale == "kaggle":
         tables = CRITEO_KAGGLE_NUM_EMBEDDINGS_PER_FEATURE
         dense_in = 13
         cache_ratio = args.cache_ratio
+    elif args.scale == "avazu":
+        # reference Avazu row: 72 it/s cached / 111 it/s torchrec at batch 16384
+        # (BASELINE.md); tables fit HBM in bf16, so the TPU shape is resident.
+        tables = AVAZU_NUM_EMBEDDINGS_PER_FEATURE
+        dense_in = AVAZU_NUM_DENSE
+        cache_ratio = 1.0
+        full_resident = True
+        baseline = 111 * 16384
+    elif args.scale == "terabyte":
+        tables = CRITEO_1TB_NUM_EMBEDDINGS_PER_FEATURE
+        dense_in = 13
+        cache_ratio = args.cache_ratio
+        baseline = 42 * 16384
     else:
         tables = [100_000, 50_000, 20_000, 10_000] * 4
         dense_in = 13
@@ -106,7 +131,20 @@ def main() -> None:
     )
     t0 = time.time()
     log(f"building trainer (host table {sum(tables) * 128 * 4 / 1e9:.1f} GB)...")
-    trainer = CachedDLRMTrainer(cfg, id_freq_map=data.id_freq_map())
+    if full_resident:
+        from cachedembedding_tpu.baselines.full_resident import (
+            FullyResidentEmbeddingBag,
+        )
+
+        import jax.numpy as jnp
+
+        embed = FullyResidentEmbeddingBag(
+            cfg.total_num_embeddings, cfg.embedding_dim, table_sizes=tables,
+            seed=cfg.seed, dtype=jnp.bfloat16,
+        )
+        trainer = CachedDLRMTrainer(cfg, embed_override=embed)
+    else:
+        trainer = CachedDLRMTrainer(cfg, id_freq_map=data.id_freq_map())
     log(f"trainer+warmup ready in {time.time() - t0:.1f}s")
 
     log("pre-generating batches...")
@@ -131,10 +169,14 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"dlrm_{args.scale}_cached_train_throughput",
+                "metric": (
+                    f"dlrm_{args.scale}_"
+                    + ("resident" if full_resident else "cached")
+                    + "_train_throughput"
+                ),
                 "value": round(report.examples_per_s, 1),
                 "unit": "examples/s",
-                "vs_baseline": round(report.examples_per_s / BASELINE_EXAMPLES_PER_S, 4),
+                "vs_baseline": round(report.examples_per_s / baseline, 4),
             }
         )
     )
