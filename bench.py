@@ -166,6 +166,32 @@ def main() -> None:
     )
     log(trainer.embed.stats.summary())
 
+    # Device-only ceiling: re-execute one already-staged window K times chained
+    # (no transfers), differential timing — what this config would run at with
+    # a local (non-tunneled, non-shared) host link. stderr only.
+    try:
+        win = batches[args.warmup_iters : args.warmup_iters + args.prefetch]
+        pw, sv = trainer._begin_window(win)
+        trainer._finish_window(pw)
+
+        def run(k):
+            losses = None
+            for _ in range(k):
+                losses = trainer._dispatch_window(win, sv, [0.0] * len(win))
+            _ = np.asarray(losses[-1:])
+
+        run(1)
+        t0 = time.time(); run(1); t1 = time.time(); run(4); t2 = time.time()
+        per_iter = ((t2 - t1) - (t1 - t0)) / 3 / len(win)
+        if per_iter > 0:
+            log(
+                f"device-only ceiling: {per_iter * 1000:.1f} ms/iter = "
+                f"{1 / per_iter:.1f} it/s = {cfg.batch_size / per_iter:.0f} ex/s "
+                f"({cfg.batch_size / per_iter / baseline:.2f}x baseline)"
+            )
+    except Exception as e:  # ceiling probe must never break the benchmark
+        log(f"ceiling probe skipped: {e}")
+
     print(
         json.dumps(
             {
