@@ -34,7 +34,7 @@ def main() -> None:
                    help="kaggle: 33.7M-row cached (headline); avazu: 9.4M-row "
                         "FULLY-RESIDENT (no cache); terabyte: 177.9M-row cached; "
                         "small: tiny smoke")
-    p.add_argument("--iters", type=int, default=32)
+    p.add_argument("--iters", type=int, default=24)
     p.add_argument("--warmup-iters", type=int, default=8)
     p.add_argument("--repeats", type=int, default=3,
                    help="timed repetitions; the BEST is reported (the device link "
@@ -103,6 +103,10 @@ def main() -> None:
         # bf16 towers: the TPU idiom (MXU-native); AUROC lift at bf16 is
         # covered by tests/test_e2e.py::test_training_lifts_auroc_bf16
         compute_dtype="bfloat16",
+        # int8 dense-feature transfers (range-scaled): the input link is
+        # serialized with compute, so bytes are wall time; AUROC retention is
+        # gated by tests/test_e2e.py::test_int8_dense_inputs_learn
+        dense_input_dtype="int8",
         cache=CacheConfig(
             cache_ratio=cache_ratio,
             warmup_ratio=0.7,

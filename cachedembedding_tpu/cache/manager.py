@@ -673,7 +673,9 @@ class CachedEmbeddingBag:
             self.stats.num_write_back_history.append(0)
             self._ensure_clean(None, block=False)
             return
-        chunk = self.buffer_size if self.buffer_size > 0 else n_miss
+        # Fixed-size chunks bound the pow2 bucket padding: eviction readbacks
+        # ride the (serialized) link, so padded rows are pure wasted wall time.
+        chunk = self.buffer_size if self.buffer_size > 0 else 16384
         n_wb = 0
         for s in range(0, n_miss, chunk):
             e = min(s + chunk, n_miss)

@@ -248,6 +248,23 @@ def _scan_window(
     return dense_params, cache_weight, losses
 
 
+def _unpack_dense(packed, a, P, B, Din, dmode):
+    """Decode the dense-features block at offset ``a``; returns (feats, end)."""
+    if dmode == "int8":
+        meta = jax.lax.bitcast_convert_type(packed[a : a + 8].reshape(2, 4), jnp.float32)
+        a += 8
+        end = a + P * B * Din
+        q = packed[a:end].reshape(P, B, Din).astype(jnp.float32)
+        return q * meta[0] + meta[1], end
+    dsize = 2 if dmode == "bfloat16" else 4
+    end = a + P * B * Din * dsize
+    dense_dt = jnp.bfloat16 if dmode == "bfloat16" else jnp.float32
+    feats = jax.lax.bitcast_convert_type(
+        packed[a:end].reshape(P, B, Din, dsize), dense_dt
+    ).astype(jnp.float32)
+    return feats, end
+
+
 def _unpack_ids(b: jnp.ndarray, P: int, L: int, width: int) -> jnp.ndarray:
     """Decode the host-side bit-packing (hostops.pack_ids) back to (P, L) int32
     slot ids — a handful of VPU shift/or ops, free next to the step's matmuls.
@@ -287,7 +304,7 @@ def _train_window_packed(
     seed: jnp.ndarray,          # () uint32 — canonical init seed (synth admits)
     cache_accum: jnp.ndarray = None,  # (C,) f32 rowwise-adagrad state
     *,
-    layout: tuple,  # (P, L, B, Din, dense_bf16, id_width_bits, synth_bucket,
+    layout: tuple,  # (P, L, B, Din, dense_mode, id_width_bits, synth_bucket,
     # fetch_bucket, fetch_bf16) — sb/fb are 0 when the window has no such admits
     num_features: int,
     batch_size: int,
@@ -310,17 +327,12 @@ def _train_window_packed(
     Unpacking is a handful of bitcasts/shifts on device — free next to the
     matmuls. Admit scatters are sequenced before the train steps by the data
     dependency on cache_weight."""
-    P, L, B, Din, dense_bf16, id_width, sb, fb, fetch_bf16 = layout
+    P, L, B, Din, dmode, id_width, sb, fb, fetch_bf16 = layout
     D = cache_weight.shape[1]
     a = P * ({16: 2 * L, 20: 5 * (L // 2), 24: 3 * L, 32: 4 * L}[id_width])
-    dsize = 2 if dense_bf16 else 4
-    b = a + P * B * Din * dsize
-    c = b + P * B
     slot_values = _unpack_ids(packed[:a], P, L, id_width)
-    dense_dt = jnp.bfloat16 if dense_bf16 else jnp.float32
-    dense_feats = jax.lax.bitcast_convert_type(
-        packed[a:b].reshape(P, B, Din, dsize), dense_dt
-    ).astype(jnp.float32)
+    dense_feats, b = _unpack_dense(packed, a, P, B, Din, dmode)
+    c = b + P * B
     labels = packed[b:c].reshape(P, B).astype(jnp.float32)
     C_pad = cache_weight.shape[0]
     if sb:
@@ -394,17 +406,12 @@ def _eval_window_packed(
     admits as training, scoring P batches in one execute. Returns
     (cache_weight, cache_accum, (P, B) probabilities)."""
     compute_dtype = jnp.dtype(compute_dtype_name)
-    P, L, B, Din, dense_bf16, id_width, sb, fb, fetch_bf16 = layout
+    P, L, B, Din, dmode, id_width, sb, fb, fetch_bf16 = layout
     D = cache_weight.shape[1]
     a = P * ({16: 2 * L, 20: 5 * (L // 2), 24: 3 * L, 32: 4 * L}[id_width])
-    dsize = 2 if dense_bf16 else 4
-    b = a + P * B * Din * dsize
-    c = b + P * B
     slot_values = _unpack_ids(packed[:a], P, L, id_width)
-    dense_dt = jnp.bfloat16 if dense_bf16 else jnp.float32
-    dense_feats = jax.lax.bitcast_convert_type(
-        packed[a:b].reshape(P, B, Din, dsize), dense_dt
-    ).astype(jnp.float32)
+    dense_feats, c = _unpack_dense(packed, a, P, B, Din, dmode)
+    c = c + P * B  # skip labels (unused in eval)
     C_pad = cache_weight.shape[0]
     if sb:
         s0, s1, s2 = c, c + 4 * sb, c + 8 * sb
@@ -573,9 +580,20 @@ class CachedDLRMTrainer:
             # Pack the whole window's inputs — and, in the staged case, its
             # admits — into ONE host->device transfer (_train_window_packed).
             B, Din = f0.batch_size, self.cfg.dense_in_features
-            dense_bf16 = self.cfg.dense_input_dtype == "bfloat16"
-            ddt = ml_dtypes.bfloat16 if dense_bf16 else np.float32
-            dense = np.stack([np.asarray(b.dense_features, ddt) for b in batches])
+            dmode = self.cfg.dense_input_dtype
+            if dmode == "int8":
+                raw = np.stack(
+                    [np.asarray(b.dense_features, np.float32) for b in batches]
+                )
+                lo = float(raw.min())
+                hi = float(raw.max())
+                scale = (hi - lo) / 255.0 or 1.0
+                dense = np.round((raw - lo) / scale).astype(np.uint8)
+                dense_meta = np.array([scale, lo], np.float32)
+            else:
+                ddt = ml_dtypes.bfloat16 if dmode == "bfloat16" else np.float32
+                dense = np.stack([np.asarray(b.dense_features, ddt) for b in batches])
+                dense_meta = None
             labels = np.stack(
                 [np.asarray(b.labels).astype(np.uint8) for b in batches]
             )
@@ -587,8 +605,10 @@ class CachedDLRMTrainer:
                 if id_width == 32
                 else hostops.pack_ids(slot_ids_np, id_width)
             )
-            parts = [
-                ids_bytes,
+            parts = [ids_bytes]
+            if dense_meta is not None:
+                parts.append(dense_meta.view(np.uint8))
+            parts += [
                 np.ascontiguousarray(dense).reshape(-1).view(np.uint8),
                 labels.reshape(-1),
             ]
@@ -614,7 +634,7 @@ class CachedDLRMTrainer:
                         acc[: extras.fetch_accum.shape[0]] = extras.fetch_accum
                         parts.append(acc.view(np.uint8))
             buf_dev = jax.device_put(np.concatenate(parts))
-            layout = (P, L, B, Din, dense_bf16, id_width, sb, fb, fetch_bf16)
+            layout = (P, L, B, Din, dmode, id_width, sb, fb, fetch_bf16)
             pw_out = extras if extras is not None else pw
             return pw_out, ("packed", buf_dev, layout)
         pw = self.embed.begin_prepare(all_ids)

@@ -112,3 +112,24 @@ def test_packed_window_matches_device_planner():
         report = trainer.train(data, num_iters=6)
         runs.append(report.losses)
     np.testing.assert_allclose(runs[0], runs[1], rtol=2e-5)
+
+
+def test_int8_dense_inputs_learn():
+    """int8 dense-feature transfers (quartered input-link bytes) must retain
+    the AUROC lift of the f32 path on the same data."""
+    tables = [1000, 2000, 500, 300]
+    aurocs = {}
+    for dmode in ("float32", "int8"):
+        cfg = _cfg(tables, prefetch_num=2)
+        cfg.learning_rate = 0.3
+        cfg.dense_input_dtype = dmode
+        data = SyntheticLongTailDataset(
+            tables, cfg.batch_size, num_batches=30, dense_in_features=4, seed=3
+        )
+        eval_data = SyntheticLongTailDataset(
+            tables, cfg.batch_size, num_batches=5, dense_in_features=4, seed=99
+        )
+        trainer = CachedDLRMTrainer(cfg, id_freq_map=data.id_freq_map())
+        trainer.train(data, num_iters=30)
+        aurocs[dmode] = trainer.evaluate(eval_data)["auroc"]
+    assert aurocs["int8"] > aurocs["float32"] - 0.01, aurocs
