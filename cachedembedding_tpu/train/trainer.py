@@ -248,6 +248,49 @@ def _scan_window(
     return dense_params, cache_weight, losses
 
 
+def _apply_packed_admits(cache_weight, cache_accum, packed, c, layout, seed,
+                         optimizer, adagrad_initial=0.0):
+    """Decode the synth/fetch admit blocks at offset ``c`` of the packed window
+    buffer and land them in the cache (and optimizer state) — shared by the
+    fused train and eval window programs."""
+    P, L, B, Din, dmode, id_width, sb, fb, fetch_bf16 = layout
+    D = cache_weight.shape[1]
+    C_pad = cache_weight.shape[0]
+    if sb:
+        s0, s1, s2 = c, c + 4 * sb, c + 8 * sb
+        c = c + 12 * sb
+        s_slots = jax.lax.bitcast_convert_type(packed[s0:s1].reshape(sb, 4), jnp.int32)
+        s_rows = jax.lax.bitcast_convert_type(packed[s1:s2].reshape(sb, 4), jnp.int32)
+        s_bounds = jax.lax.bitcast_convert_type(packed[s2:c].reshape(sb, 4), jnp.float32)
+        vals = synth_rows(s_rows, s_bounds, seed, D)
+        safe = jnp.where(s_slots >= 0, s_slots, C_pad)
+        cache_weight = cache_weight.at[safe].set(
+            vals.astype(cache_weight.dtype), mode="drop"
+        )
+        if optimizer == "rowwise_adagrad":
+            # fresh rows start from the initial accumulator
+            cache_accum = cache_accum.at[safe].set(adagrad_initial, mode="drop")
+    if fb:
+        f0, f1 = c, c + 4 * fb
+        fsize = 2 if fetch_bf16 else 4
+        c2 = f1 + fb * D * fsize
+        f_slots = jax.lax.bitcast_convert_type(packed[f0:f1].reshape(fb, 4), jnp.int32)
+        fetch_dt = jnp.bfloat16 if fetch_bf16 else jnp.float32
+        payload = jax.lax.bitcast_convert_type(
+            packed[f1:c2].reshape(fb, D, fsize), fetch_dt
+        )
+        safe = jnp.where(f_slots >= 0, f_slots, C_pad)
+        cache_weight = cache_weight.at[safe].set(
+            payload.astype(cache_weight.dtype), mode="drop"
+        )
+        if optimizer == "rowwise_adagrad":
+            f_accum = jax.lax.bitcast_convert_type(
+                packed[c2 : c2 + 4 * fb].reshape(fb, 4), jnp.float32
+            )
+            cache_accum = cache_accum.at[safe].set(f_accum, mode="drop")
+    return cache_weight, cache_accum
+
+
 def _unpack_dense(packed, a, P, B, Din, dmode):
     """Decode the dense-features block at offset ``a``; returns (feats, end)."""
     if dmode == "int8":
@@ -328,45 +371,15 @@ def _train_window_packed(
     matmuls. Admit scatters are sequenced before the train steps by the data
     dependency on cache_weight."""
     P, L, B, Din, dmode, id_width, sb, fb, fetch_bf16 = layout
-    D = cache_weight.shape[1]
     a = P * ({16: 2 * L, 20: 5 * (L // 2), 24: 3 * L, 32: 4 * L}[id_width])
     slot_values = _unpack_ids(packed[:a], P, L, id_width)
     dense_feats, b = _unpack_dense(packed, a, P, B, Din, dmode)
     c = b + P * B
     labels = packed[b:c].reshape(P, B).astype(jnp.float32)
-    C_pad = cache_weight.shape[0]
-    if sb:
-        s0, s1, s2 = c, c + 4 * sb, c + 8 * sb
-        c = c + 12 * sb
-        s_slots = jax.lax.bitcast_convert_type(packed[s0:s1].reshape(sb, 4), jnp.int32)
-        s_rows = jax.lax.bitcast_convert_type(packed[s1:s2].reshape(sb, 4), jnp.int32)
-        s_bounds = jax.lax.bitcast_convert_type(packed[s2:c].reshape(sb, 4), jnp.float32)
-        vals = synth_rows(s_rows, s_bounds, seed, D)
-        safe = jnp.where(s_slots >= 0, s_slots, C_pad)
-        cache_weight = cache_weight.at[safe].set(
-            vals.astype(cache_weight.dtype), mode="drop"
-        )
-        if optimizer == "rowwise_adagrad":
-            # fresh rows start from the initial accumulator
-            cache_accum = cache_accum.at[safe].set(adagrad_initial, mode="drop")
-    if fb:
-        f0, f1 = c, c + 4 * fb
-        fsize = 2 if fetch_bf16 else 4
-        c2 = f1 + fb * D * fsize
-        f_slots = jax.lax.bitcast_convert_type(packed[f0:f1].reshape(fb, 4), jnp.int32)
-        fetch_dt = jnp.bfloat16 if fetch_bf16 else jnp.float32
-        payload = jax.lax.bitcast_convert_type(
-            packed[f1:c2].reshape(fb, D, fsize), fetch_dt
-        )
-        safe = jnp.where(f_slots >= 0, f_slots, C_pad)
-        cache_weight = cache_weight.at[safe].set(
-            payload.astype(cache_weight.dtype), mode="drop"
-        )
-        if optimizer == "rowwise_adagrad":
-            f_accum = jax.lax.bitcast_convert_type(
-                packed[c2 : c2 + 4 * fb].reshape(fb, 4), jnp.float32
-            )
-            cache_accum = cache_accum.at[safe].set(f_accum, mode="drop")
+    cache_weight, cache_accum = _apply_packed_admits(
+        cache_weight, cache_accum, packed, c, layout, seed, optimizer,
+        adagrad_initial,
+    )
     return _scan_window(
         dense_params, cache_weight,
         (dense_feats, slot_values, labels, sparse_lrs, dense_lrs),
@@ -407,43 +420,13 @@ def _eval_window_packed(
     (cache_weight, cache_accum, (P, B) probabilities)."""
     compute_dtype = jnp.dtype(compute_dtype_name)
     P, L, B, Din, dmode, id_width, sb, fb, fetch_bf16 = layout
-    D = cache_weight.shape[1]
     a = P * ({16: 2 * L, 20: 5 * (L // 2), 24: 3 * L, 32: 4 * L}[id_width])
     slot_values = _unpack_ids(packed[:a], P, L, id_width)
     dense_feats, c = _unpack_dense(packed, a, P, B, Din, dmode)
     c = c + P * B  # skip labels (unused in eval)
-    C_pad = cache_weight.shape[0]
-    if sb:
-        s0, s1, s2 = c, c + 4 * sb, c + 8 * sb
-        c = c + 12 * sb
-        s_slots = jax.lax.bitcast_convert_type(packed[s0:s1].reshape(sb, 4), jnp.int32)
-        s_rows = jax.lax.bitcast_convert_type(packed[s1:s2].reshape(sb, 4), jnp.int32)
-        s_bounds = jax.lax.bitcast_convert_type(packed[s2:c].reshape(sb, 4), jnp.float32)
-        vals = synth_rows(s_rows, s_bounds, seed, D)
-        safe = jnp.where(s_slots >= 0, s_slots, C_pad)
-        cache_weight = cache_weight.at[safe].set(
-            vals.astype(cache_weight.dtype), mode="drop"
-        )
-        if optimizer == "rowwise_adagrad":
-            cache_accum = cache_accum.at[safe].set(0.0, mode="drop")
-    if fb:
-        f0, f1 = c, c + 4 * fb
-        fsize = 2 if fetch_bf16 else 4
-        c2 = f1 + fb * D * fsize
-        f_slots = jax.lax.bitcast_convert_type(packed[f0:f1].reshape(fb, 4), jnp.int32)
-        fetch_dt = jnp.bfloat16 if fetch_bf16 else jnp.float32
-        payload = jax.lax.bitcast_convert_type(
-            packed[f1:c2].reshape(fb, D, fsize), fetch_dt
-        )
-        safe = jnp.where(f_slots >= 0, f_slots, C_pad)
-        cache_weight = cache_weight.at[safe].set(
-            payload.astype(cache_weight.dtype), mode="drop"
-        )
-        if optimizer == "rowwise_adagrad":
-            f_accum = jax.lax.bitcast_convert_type(
-                packed[c2 : c2 + 4 * fb].reshape(fb, 4), jnp.float32
-            )
-            cache_accum = cache_accum.at[safe].set(f_accum, mode="drop")
+    cache_weight, cache_accum = _apply_packed_admits(
+        cache_weight, cache_accum, packed, c, layout, seed, optimizer,
+    )
 
     def score(d, v):
         feats = RaggedFeatures(
