@@ -17,7 +17,7 @@ Capability parity with the reference's ``ParallelCachedEmbeddingBagTablewise`` +
 
 TPU re-design (single-controller SPMD): per-rank cache metadata is STACKED along
 a leading (w, ...) axis, padded to the max per-rank shape, and maintained by a
-vmapped ``plan_ids``; per-rank cache weights are a (w, C_max, D) array sharded
+per-rank HOST cache directories; per-rank cache weights are a (w, C_max, D) array sharded
 P(AXIS) so each device holds exactly its own cache. Host tables stay separate
 per rank. Padded id lanes use a dedicated pad row per rank (index N_max) so they
 never collide with real rows.
@@ -37,13 +37,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from cachedembedding_tpu._native import hostops
 from cachedembedding_tpu.cache.host_table import DenseHostTable, VirtualHostTable
 from cachedembedding_tpu.cache.manager import CacheStats, _bucket, default_table_init
-from cachedembedding_tpu.cache.state import (
-    CacheState,
-    EvictionStrategy,
-    init_cache_state,
-    plan_ids,
-    remap_ids,
-)
+from cachedembedding_tpu.cache.host_directory import make_directory
+from cachedembedding_tpu.cache.state import EvictionStrategy
 from cachedembedding_tpu.parallel.mesh import AXIS
 
 
@@ -231,35 +226,28 @@ class ParallelCachedEmbeddingBagTablewise:
                 ht = DenseHostTable(arr)
             self.host_tables.append(ht)
 
-        # stacked device state (w, ...)
-        states = [init_cache_state(self.N_max, self.C_max) for _ in range(w)]
-        self.state = CacheState(
-            slot_to_row=jnp.stack([s.slot_to_row for s in states]),
-            row_to_slot=jnp.stack([s.row_to_slot for s in states]),
-            slot_freq=jnp.stack([s.slot_freq for s in states]),
-        )
-        self.cache_weight = jax.device_put(
-            jnp.zeros((w, self.C_max, self.embedding_dim), jnp.float32),
-            NamedSharding(mesh, P(AXIS)),
-        )
-        # stacked dataset freq (for DATASET eviction)
-        self.dataset_freq = None
+        # per-rank host cache directories (the host-authoritative planner,
+        # cache/host_directory.py): one directory per rank's fused local id
+        # space — zero device readbacks anywhere in the prepare path.
+        self.dirs = [make_directory(self.N_max, self.C_max, evict_strategy) for _ in range(w)]
         if evict_strategy == EvictionStrategy.DATASET:
-            freq = np.zeros((w, self.N_max), np.int64)
             for r, ts in enumerate(self.tables_of_rank):
+                freq = np.zeros((self.N_max,), np.int64)
                 off = 0
                 for t in ts:
                     f = configs[t].ids_freq_mapping
                     n = configs[t].num_embeddings
                     if f is not None:
-                        freq[r, off : off + n] = np.minimum(f, 2**31 - 1)
+                        freq[off : off + n] = np.minimum(f, 2**31 - 1)
                     off += n
-            self.dataset_freq = jnp.asarray(freq, jnp.int32)
+                self.dirs[r].set_dataset_freq(freq)
+        self.cache_weight = jax.device_put(
+            jnp.zeros((w, self.C_max, self.embedding_dim), jnp.float32),
+            NamedSharding(mesh, P(AXIS)),
+        )
 
         self.stats = CacheStats()
         self._pending_wb: list = []
-        self._stage: dict = {}
-        self._plan_cache: dict = {}
         if warmup_ratio > 0 and any(
             c.ids_freq_mapping is not None for c in configs
         ):
@@ -278,82 +266,45 @@ class ParallelCachedEmbeddingBagTablewise:
             out[r, j * B : (j + 1) * B] = ids_bf[:, t] + self.table_local_offset[t]
         return out
 
-    def _plan_fn(self, budget: int):
-        """Jitted vmapped planner, cached per unique-budget (i.e. per id-stream
-        length) to avoid re-tracing every window."""
-        if budget not in self._plan_cache:
-
-            def one(state, ids, freq):
-                return plan_ids(
-                    state, ids, freq,
-                    unique_budget=budget, strategy=self.evict_strategy,
-                )
-
-            if self.dataset_freq is None:
-                fn = jax.jit(jax.vmap(lambda s, i: one(s, i, None)), donate_argnums=(0,))
-            else:
-                fn = jax.jit(jax.vmap(one), donate_argnums=(0,))
-            self._plan_cache[budget] = fn
-        return self._plan_cache[budget]
-
-    def _plan_stacked(self, ids_stacked: jnp.ndarray):
-        budget = min(ids_stacked.shape[1], self.C_max)
-        fn = self._plan_fn(budget)
-        if self.dataset_freq is None:
-            return fn(self.state, ids_stacked)
-        return fn(self.state, ids_stacked, self.dataset_freq)
-
     def begin_prepare(self, ids_bf: np.ndarray):
-        ids_stacked = jnp.asarray(self.route_ids(np.asarray(ids_bf)), jnp.int32)
-        new_state, plans = self._plan_stacked(ids_stacked)
-        self.state = new_state
-        slot_ids = _remap_stacked(self.state, ids_stacked)  # (w, B*F_max)
+        """Plan all ranks' windows on the host (native C++ directories, no
+        device work) and ship the stacked slot ids sharded over the mesh."""
+        routed = self.route_ids(np.asarray(ids_bf))  # (w, B*F_max) local ids
+        plans = [
+            self.dirs[r].plan(np.ascontiguousarray(routed[r], np.int32))
+            for r in range(self.world)
+        ]
+        slot_ids = jax.device_put(
+            np.stack([p.slot_ids for p in plans]).astype(np.int32),
+            NamedSharding(self.mesh, P(AXIS)),
+        )
         return slot_ids, plans
 
     def finish_prepare(self, plans) -> None:
         self._drain_writebacks()
-        # stacked Plan: scalars (w, 6), indices (w, 3, U) — one readback each
-        scal = np.asarray(plans.scalars)
-        n_miss_all = scal[:, 0]
-        n_unique_all = scal[:, 1]
-        cap_ok = scal[:, 2]
-        for r in range(self.world):
-            if n_unique_all[r] > min(plans.indices.shape[2], self.C_max):
-                raise RuntimeError(f"tablewise rank {r}: prepare overflow")
-            if not cap_ok[r]:
-                raise RuntimeError(f"tablewise rank {r}: cache capacity exhausted")
         self.stats.prepare_calls += 1
-        self.stats.num_hits_history.append(int(scal[:, 3].sum()))
-        self.stats.num_miss_history.append(int(n_miss_all.sum()))
-        if n_miss_all.max() == 0:
-            return
-        nb_all = _bucket(int(n_miss_all.max()))
-        idx_all = np.asarray(
-            jax.lax.dynamic_slice(
-                plans.indices, (0, 0, 0),
-                (self.world, 3, min(nb_all, plans.indices.shape[2])),
-            )
+        self.stats.num_hits_history.append(sum(p.n_hit_unique for p in plans))
+        self.stats.num_miss_history.append(
+            sum(int(p.admit_rows.shape[0]) for p in plans)
         )
-        for r in range(self.world):
-            self._stage_rank(r, idx_all[r], int(n_miss_all[r]))
+        for r, p in enumerate(plans):
+            self._stage_rank(r, p)
 
-    def _stage_rank(self, r: int, idx_block: np.ndarray, n_miss: int) -> None:
+    def _stage_rank(self, r: int, p) -> None:
+        n_miss = int(p.admit_rows.shape[0])
         if n_miss == 0:
             return
-        admit_rows = idx_block[0, :n_miss]
-        admit_slots = idx_block[1, :n_miss]
-        evict_rows = idx_block[2, :n_miss]
         b = _bucket(n_miss)
         slots_c = np.full((b,), -1, np.int32)
-        slots_c[:n_miss] = admit_slots
+        slots_c[:n_miss] = p.admit_slots
         slots_dev = jnp.array(slots_c)
-        wb_mask = evict_rows >= 0
+        wb_mask = p.evict_rows >= 0
         if wb_mask.any():
             vals_dev = _gather_rank(self.cache_weight, jnp.asarray(r), slots_dev)
-            self._pending_wb.append((r, evict_rows[wb_mask], wb_mask, n_miss, vals_dev))
+            self._pending_wb.append((r, p.evict_rows[wb_mask], wb_mask, n_miss, vals_dev))
         t0 = __import__("time").perf_counter()
         rows_c = np.zeros((b,), np.int64)
-        rows_c[:n_miss] = admit_rows
+        rows_c[:n_miss] = p.admit_rows
         vals = self.host_tables[r].gather(rows_c)
         self.cache_weight = _scatter_rank(
             self.cache_weight, jnp.asarray(r), slots_dev, jnp.array(vals)
@@ -369,9 +320,6 @@ class ParallelCachedEmbeddingBagTablewise:
         self._pending_wb.clear()
 
     def _warmup(self, warmup_ratio: float) -> None:
-        s2r = np.full((self.world, self.C_max), -1, np.int32)
-        r2s = np.full((self.world, self.N_max), -1, np.int32)
-        sfreq = np.zeros((self.world, self.C_max), np.int32)
         cw = np.zeros((self.world, self.C_max, self.embedding_dim), np.float32)
         for r, ts in enumerate(self.tables_of_rank):
             freq = np.zeros((self.N_max,), np.int64)
@@ -386,34 +334,27 @@ class ParallelCachedEmbeddingBagTablewise:
             if k <= 0:
                 continue
             top = np.argpartition(freq[: self.local_sizes[r]], -k)[-k:].astype(np.int64)
-            s2r[r, :k] = top
-            r2s[r, top] = np.arange(k, dtype=np.int32)
-            sfreq[r, :k] = np.minimum(freq[top], 2**31 - 1)
+            self.dirs[r].warmup(top, np.minimum(freq[top], 2**31 - 1))
             cw[r, :k] = self.host_tables[r].gather(top)
-        self.state = CacheState(
-            slot_to_row=jnp.asarray(s2r),
-            row_to_slot=jnp.asarray(r2s),
-            slot_freq=jnp.asarray(sfreq),
-        )
         self.cache_weight = jax.device_put(
             jnp.asarray(cw), NamedSharding(self.mesh, P(AXIS))
         )
 
     def flush(self) -> None:
         self._drain_writebacks()
-        s2r = np.asarray(self.state.slot_to_row)
         for r in range(self.world):
-            resident = np.nonzero(s2r[r] >= 0)[0]
-            real = resident[s2r[r][resident] != self.pad_row]
-            if real.size == 0:
+            slots, rows = self.dirs[r].resident()
+            real = rows != self.pad_row
+            slots, rows = slots[real], rows[real]
+            if slots.size == 0:
                 continue
-            b = _bucket(real.size)
+            b = _bucket(slots.size)
             slots_c = np.full((b,), -1, np.int32)
-            slots_c[: real.size] = real
+            slots_c[: slots.size] = slots
             vals = np.asarray(
                 _gather_rank(self.cache_weight, jnp.asarray(r), jnp.array(slots_c))
             )
-            self.host_tables[r].scatter(s2r[r][real], vals[: real.size])
+            self.host_tables[r].scatter(rows, vals[: slots.size])
 
     def print_comm_stats(self) -> None:
         print(self.stats.summary())
@@ -442,7 +383,6 @@ def _gather_rank(cache, r, slots):
     return cache[r, jnp.clip(slots, 0, cache.shape[1] - 1)]
 
 
-_remap_stacked = jax.jit(jax.vmap(remap_ids))
 
 
 def tablewise_train_step(
