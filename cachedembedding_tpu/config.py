@@ -24,7 +24,8 @@ class CacheConfig:
     use_lfu_eviction: bool = False     # --use_lfu: LFU vs DATASET eviction
     use_freq: bool = True              # --use_freq: seed cache with dataset id frequency
     prefetch_num: int = 1              # --prefetch_num: far-sighted prefetch depth
-    use_overlap: bool = True           # --use_overlap: async host<->HBM row staging
+    use_overlap: bool = True           # --use_overlap (flag parity; overlap is
+    # structural in the window pipeline and always on)
     pin_weight: bool = True            # pin host weight (numpy is always "pinned" on TPU-VM)
     # TPU-specific knobs (no reference analog):
     planner: str = "auto"              # "host" (native C++ directory) | "device"

@@ -12,10 +12,10 @@ Capability parity with the reference hot loop (/root/reference/recsys/dlrm_main.
   * eval with AUROC/Accuracy accumulated across batches
     (/root/reference/recsys/dlrm_main.py:300-333).
 
-The jitted step donates the parameter buffers so SGD updates are in-place in HBM.
-Host->HBM row staging for window k+1 overlaps with window k's compute when
-``use_overlap`` is on (JAX async dispatch: the train steps for window k are already
-enqueued when the host starts staging k+1).
+The jitted window program donates the parameter buffers so updates are
+in-place in HBM. Host planning/packing/staging for window k+1 structurally
+overlaps window k's compute (the reference's --use_overlap is always-on here:
+window k's execute is dispatched before window k+1's host work begins).
 """
 
 from __future__ import annotations

@@ -102,3 +102,29 @@ def test_adagrad_checkpoint_roundtrip(tmp_path):
     r1 = t1.train(_data(tables, 4, seed=77), num_iters=4)
     r2 = t2.train(_data(tables, 4, seed=77), num_iters=4)
     np.testing.assert_allclose(r1.losses, r2.losses, rtol=3e-5)
+
+
+def test_long_equivalence_under_heavy_eviction():
+    """40 iterations at a small cache ratio with LFU churn: the cached path
+    (staged windows, lazy device init, deferred writebacks, adagrad tiering)
+    must track the fully-resident reference exactly the whole way."""
+    tables = [900, 450]
+    cfg = _cfg(tables, cache_ratio=0.35)
+    cfg.cache.prefetch_num = 3
+    cached = CachedDLRMTrainer(cfg)
+    rep_c = cached.train(_data(tables, 40, seed=5), num_iters=40)
+
+    fr = FullyResidentEmbeddingBag(
+        sum(tables), cfg.embedding_dim, table_sizes=tables, seed=cfg.seed,
+        dtype=cached.embed.dtype, optimizer="rowwise_adagrad",
+    )
+    base = CachedDLRMTrainer(cfg, embed_override=fr)
+    rep_f = base.train(_data(tables, 40, seed=5), num_iters=40)
+    np.testing.assert_allclose(rep_c.losses, rep_f.losses, rtol=5e-5)
+    # and the flushed host table matches the resident table
+    cached.embed.flush()
+    host = cached.embed.host_table.gather(np.arange(sum(tables), dtype=np.int64))
+    resident = np.asarray(fr.cache_weight.astype(jnp.float32))
+    # rows never touched by training keep their init on both sides; trained
+    # rows went through bf16 cache storage on BOTH paths -> close match
+    np.testing.assert_allclose(host, resident, rtol=1e-2, atol=1e-3)
