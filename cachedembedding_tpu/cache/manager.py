@@ -432,9 +432,17 @@ class CachedEmbeddingBag:
         if n_fresh < k:
             rows = self.host_table.gather(top[written])
             payload = rows.astype(ml_dtypes.bfloat16) if self._transfer_bf16 else rows
+            slots_dev = jnp.array(slots[written])
             self.cache_weight = scatter_admits(
-                self.cache_weight, jnp.array(slots[written]), jnp.array(payload)
+                self.cache_weight, slots_dev, jnp.array(payload)
             )
+            if self.cache_accum is not None:
+                # previously-trained warm rows resume with their persisted
+                # optimizer state (checkpoint-restore + warmup path)
+                acc = self.host_accum.gather(top[written]).astype(np.float32)
+                self.cache_accum = _scatter_accum(
+                    self.cache_accum, slots_dev, jnp.array(acc)
+                )
             self.stats.swap_in_bytes += rows.nbytes
         self.stats.swap_in_time += time.perf_counter() - t0
 

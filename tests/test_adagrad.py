@@ -92,11 +92,15 @@ def test_adagrad_checkpoint_roundtrip(tmp_path):
 
     tables = [400, 200]
     cfg = _cfg(tables, cache_ratio=0.3)
-    t1 = CachedDLRMTrainer(cfg)
+    # warmup>0 exercises the warm-row accumulator restore path
+    cfg.cache.warmup_ratio = 0.5
+    cfg.cache.use_freq = True
+    freq = _data(tables, 6).id_freq_map()
+    t1 = CachedDLRMTrainer(cfg, id_freq_map=freq)
     t1.train(_data(tables, 6), num_iters=6)
     save_checkpoint(str(tmp_path / "ck"), t1)
 
-    t2 = CachedDLRMTrainer(cfg)
+    t2 = CachedDLRMTrainer(cfg, id_freq_map=freq)
     load_checkpoint(str(tmp_path / "ck"), t2)
     # continue training both: identical losses (state fully restored)
     r1 = t1.train(_data(tables, 4, seed=77), num_iters=4)
