@@ -13,10 +13,14 @@ hpcaitech/CachedEmbedding (reference at /root/reference):
   * DLRM / DeepFM model families, Criteo/Avazu/synthetic data pipelines, the
     far-sighted prefetch pipeline, and train/eval harnesses.
 
-Unlike the reference (pure PyTorch on CUDA), the cache core here is a
-static-shape, jit-compatible state machine; the hot lookup/pooling ops are
-Pallas TPU kernels; host<->HBM row staging is done with a native C++ helper and
-asynchronous JAX dispatch.
+Unlike the reference (pure PyTorch on CUDA), cache bookkeeping runs in a
+native C++ host directory fully overlapped with device compute (a jitted
+device-side state machine remains as the alternative planner); training runs
+one fused XLA program per prefetch window fed by a single packed transfer;
+never-trained rows materialize on device from a canonical procedural init
+(zero admit bandwidth); and row staging uses a native C++ helper with
+asynchronous JAX dispatch. Beyond the reference: checkpoint/resume, row-wise
+Adagrad with cache-tiered optimizer state, and an automatic sharding planner.
 """
 
 from cachedembedding_tpu.cache import (  # noqa: F401
