@@ -260,11 +260,10 @@ class CachedEmbeddingBag:
             else:
                 raise ValueError(f"unknown weight_init {weight_init!r}")
 
-        # --- planner: host C++ directory (default) or device state machine ---
-        from cachedembedding_tpu._native import hostops as _hostops
-
+        # --- planner: host directory (default; C++ when built, numpy
+        # fallback otherwise) or the jitted device state machine ---
         if planner == "auto":
-            planner = "host" if _hostops.native_available() else "device"
+            planner = "host"
         if planner not in ("host", "device"):
             raise ValueError(f"unknown planner {planner!r}")
         self.planner = planner
