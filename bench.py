@@ -54,6 +54,14 @@ def main() -> None:
 
     import jax
 
+    # Persistent compilation cache: first compiles cost 10-40s each over the
+    # remote-compile tunnel; repeated bench invocations reuse them.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     log(f"devices: {jax.devices()}")
 
     from cachedembedding_tpu.config import (
