@@ -201,6 +201,13 @@ class PyDirectory:
 
     def plan(self, ids: np.ndarray, out_slot_ids: Optional[np.ndarray] = None) -> HostPlan:
         ids = np.ascontiguousarray(ids, np.int32)
+        if ids.size and (int(ids.min()) < 0 or int(ids.max()) >= self.num_rows):
+            # Same contract as the native dir_plan: negative ids would silently
+            # index row_to_slot from the end and corrupt directory state.
+            raise ValueError(
+                f"ids out of range [0, {self.num_rows}): "
+                f"min={int(ids.min())}, max={int(ids.max())}"
+            )
         uids, counts = np.unique(ids, return_counts=True)
         slots = self.row_to_slot[uids]
         hit = slots >= 0

@@ -351,6 +351,7 @@ class CachedEmbeddingBag:
         self._wb_exec = ThreadPoolExecutor(max_workers=1)
         self._wb_futures: list = []  # (future, concatenated evicted row ids)
 
+        self.warmup_ratio = float(warmup_ratio)
         if self._host_freq is not None and warmup_ratio > 0:
             self._warmup(warmup_ratio)
 
@@ -955,8 +956,8 @@ class CachedEmbeddingBag:
         self.cache_weight = jnp.zeros_like(self.cache_weight)
         if self.cache_accum is not None:
             self.cache_accum = jnp.full_like(self.cache_accum, self.adagrad_initial)
-        if self._host_freq is not None:
-            self._warmup(0.7)
+        if self._host_freq is not None and self.warmup_ratio > 0:
+            self._warmup(self.warmup_ratio)
 
     @property
     def host_weight(self) -> np.ndarray:

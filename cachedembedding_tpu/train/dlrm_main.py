@@ -82,6 +82,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                    default="sgd", help="embedding-table optimizer; rowwise_adagrad "
                    "state tiers with the cache (beyond-reference feature)")
     p.add_argument("--adagrad_eps", type=float, default=1e-10)
+    p.add_argument("--use_sparse_embed_grad", action="store_true",
+                   help="force the scatter-add sparse embedding gradient path "
+                   "(reference flag; otherwise chosen automatically by "
+                   "capacity/ids-size heuristic)")
     return p.parse_args(argv)
 
 
@@ -143,6 +147,7 @@ def build_config(args):
         compute_dtype=args.compute_dtype,
         embedding_optimizer=args.embedding_optimizer,
         adagrad_eps=args.adagrad_eps,
+        use_sparse_embed_grad=args.use_sparse_embed_grad,
         cache=cache,
     )
     return cfg

@@ -395,6 +395,7 @@ def _train_window_packed(
     static_argnames=(
         "layout", "num_features", "batch_size", "pooling", "mode",
         "compute_dtype_name", "use_pallas", "model", "optimizer",
+        "adagrad_initial",
     ),
     donate_argnames=("cache_weight", "cache_accum"),
 )
@@ -414,6 +415,7 @@ def _eval_window_packed(
     use_pallas: bool,
     model: str = "dlrm",
     optimizer: str = "sgd",
+    adagrad_initial: float = 0.0,
 ):
     """Forward-only fused window: same single packed transfer + in-program
     admits as training, scoring P batches in one execute. Returns
@@ -426,6 +428,7 @@ def _eval_window_packed(
     c = c + P * B  # skip labels (unused in eval)
     cache_weight, cache_accum = _apply_packed_admits(
         cache_weight, cache_accum, packed, c, layout, seed, optimizer,
+        adagrad_initial,
     )
 
     def score(d, v):
@@ -582,11 +585,20 @@ class CachedDLRMTrainer:
             )
             from cachedembedding_tpu._native import hostops
 
-            id_width = hostops.id_pack_width(self.embed.capacity, P * L)
+            # Gate the pack width on L (the per-step id count), not P*L: 20-bit
+            # packing pairs ids over the flat stream, and the device unpack
+            # decodes (P, L//2, 5) per-row blocks — identical only when L
+            # itself is even.
+            id_width = hostops.id_pack_width(self.embed.capacity, L)
             ids_bytes = (
                 slot_ids_np.reshape(-1).view(np.uint8)
                 if id_width == 32
                 else hostops.pack_ids(slot_ids_np, id_width)
+            )
+            expect = P * {16: 2 * L, 20: 5 * (L // 2), 24: 3 * L, 32: 4 * L}[id_width]
+            assert ids_bytes.nbytes == expect, (
+                f"packed id block {ids_bytes.nbytes}B != layout {expect}B "
+                f"(P={P}, L={L}, width={id_width})"
             )
             parts = [ids_bytes]
             if dense_meta is not None:
@@ -781,6 +793,14 @@ class CachedDLRMTrainer:
             return window
 
         annotate = jax.profiler.TraceAnnotation  # record_function analog
+        # Host-directory windows do their planning/staging ON HOST, so they run
+        # AFTER window k's async dispatch (host work overlaps device compute).
+        # Device-planner windows run their plan as a DEVICE program, so it must
+        # be enqueued BEFORE window k's big program — otherwise finish_prepare's
+        # scalar readback serializes on the whole window's compute.
+        staged = (
+            isinstance(self.embed, CachedEmbeddingBag) and self.embed._dir is not None
+        )
         t0 = time.perf_counter()
         cur = fetch_window()
         if cur:
@@ -788,13 +808,22 @@ class CachedDLRMTrainer:
                 pw_cur, sv_cur = self._begin_window(cur)
                 self._finish_window(pw_cur)
         while cur:
-            # Dispatch this window's train steps FIRST (async, ONE fused device
-            # call for uniform windows) so the next window's transfers ride the
-            # link behind this window's execute instead of in front of it.
             progresses = [
                 0.0 if total is None else (done + i) / max(total, 1)
                 for i in range(len(cur))
             ]
+            nxt = pw_nxt = sv_nxt = None
+            if not staged:
+                # Enqueue the next window's plan program ahead of this window's
+                # train program (the plan only touches directory state, which
+                # the train program never writes).
+                nxt = fetch_window()
+                if nxt:
+                    with annotate("cache_prepare"):
+                        pw_nxt, sv_nxt = self._begin_window(nxt)
+            # Dispatch this window's train steps (async, ONE fused device call
+            # for uniform windows) so the next window's transfers ride the link
+            # behind this window's execute instead of in front of it.
             with annotate("train_window_dispatch"):
                 if isinstance(sv_cur, list):  # ragged fallback: per-step dispatch
                     for b, sf, pg in zip(cur, sv_cur, progresses):
@@ -805,13 +834,17 @@ class CachedDLRMTrainer:
             prev_done = done
             done += len(cur)
             self._step_idx += len(cur)
-            # Plan + stage the NEXT window while the device executes this one:
-            # the host directory plan, the packed input transfer, and the
-            # admit-row staging all overlap this window's compute.
-            nxt = fetch_window()
-            if nxt:
+            if staged:
+                # Plan + stage the NEXT window while the device executes this
+                # one: the host directory plan, the packed input transfer, and
+                # the admit-row staging all overlap this window's compute.
+                nxt = fetch_window()
+                if nxt:
+                    with annotate("cache_prepare"):
+                        pw_nxt, sv_nxt = self._begin_window(nxt)
+                        self._finish_window(pw_nxt)
+            elif nxt:
                 with annotate("cache_prepare"):
-                    pw_nxt, sv_nxt = self._begin_window(nxt)
                     self._finish_window(pw_nxt)
             if log_every and done // log_every != prev_done // log_every:
                 # NOTE: read as a (1,) array — 0-d readbacks are pathologically
@@ -908,6 +941,7 @@ class CachedDLRMTrainer:
                 use_pallas=cfg.cache.use_pallas_lookup,
                 model=cfg.model,
                 optimizer="rowwise_adagrad" if accum is not None else "sgd",
+                adagrad_initial=getattr(self.embed, "adagrad_initial", 0.0),
             )
             self.embed.set_param(new_cache)
             if accum is not None:

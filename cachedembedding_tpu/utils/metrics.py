@@ -41,6 +41,8 @@ def auroc(scores: np.ndarray, labels: np.ndarray) -> float:
 
 def accuracy(scores: np.ndarray, labels: np.ndarray, threshold: float = 0.5) -> float:
     preds = (np.asarray(scores).ravel() >= threshold).astype(np.int64)
+    if preds.size == 0:  # empty eval stream: defined NaN, no RuntimeWarning
+        return float("nan")
     return float((preds == np.asarray(labels).ravel()).mean())
 
 

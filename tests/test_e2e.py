@@ -114,6 +114,40 @@ def test_packed_window_matches_device_planner():
     np.testing.assert_allclose(runs[0], runs[1], rtol=2e-5)
 
 
+def test_packed_window_odd_length_ids():
+    """Regression: 20-bit id packing pairs ids, so it must not be selected when
+    the PER-STEP id count L is odd (capacity in (2^16, 2^20] + odd F*B used to
+    decode every downstream block at wrong offsets). Host-planner packed path
+    must match the device planner exactly."""
+    tables = [70_000, 30_000, 30_000]  # capacity 117k: 20-bit candidate range
+    runs = []
+    for planner in ("host", "device"):
+        cfg = DLRMConfig(
+            num_embeddings_per_feature=tables,
+            embedding_dim=16,
+            dense_in_features=4,
+            dense_arch_layer_sizes=(32, 16),
+            over_arch_layer_sizes=(32, 16, 1),
+            batch_size=85,  # L = 3 * 85 = 255, odd
+            learning_rate=0.5,
+            cache=CacheConfig(
+                cache_ratio=0.9, warmup_ratio=0.7, buffer_size=0,
+                prefetch_num=2, use_lfu_eviction=True, use_freq=False,
+                planner=planner,
+            ),
+        )
+        data = SyntheticLongTailDataset(
+            tables, cfg.batch_size, num_batches=6, dense_in_features=4, seed=17
+        )
+        trainer = CachedDLRMTrainer(cfg)
+        report = trainer.train(data, num_iters=6)
+        assert np.isfinite(report.losses).all()
+        runs.append(report.losses)
+    # planners may assign different slots -> different f32 summation order;
+    # pre-fix this diverged to garbage (decoded blocks at wrong offsets)
+    np.testing.assert_allclose(runs[0], runs[1], rtol=2e-4)
+
+
 def test_int8_dense_inputs_learn():
     """int8 dense-feature transfers (quartered input-link bytes) must retain
     the AUROC lift of the f32 path on the same data."""
