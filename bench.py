@@ -34,8 +34,14 @@ def main() -> None:
                    help="kaggle: 33.7M-row cached (headline); avazu: 9.4M-row "
                         "FULLY-RESIDENT (no cache); terabyte: 177.9M-row cached; "
                         "small: tiny smoke")
-    p.add_argument("--iters", type=int, default=24)
-    p.add_argument("--warmup-iters", type=int, default=8)
+    p.add_argument("--iters", type=int, default=200,
+                   help="timed iterations per repeat; the default runs well past "
+                        "cache fill so the measured segment carries steady-state "
+                        "eviction writeback + re-fetch traffic (the reference's "
+                        "201-iter methodology, benchmark/benchmark_cache.py:58-75)")
+    p.add_argument("--warmup-iters", type=int, default=24,
+                   help="untimed burn-in: compile + fill the cache's free slots "
+                        "so repeat 0 already evicts")
     p.add_argument("--repeats", type=int, default=3,
                    help="timed repetitions; the BEST is reported (the device link "
                         "is a shared tunnel whose load swings 3x minute-to-minute; "
@@ -43,13 +49,19 @@ def main() -> None:
     p.add_argument("--batch-size", type=int, default=16384)
     p.add_argument("--prefetch", type=int, default=8)
     p.add_argument("--cache-ratio", type=float, default=0.01)
-    # Long-tail skew of the synthetic id stream. 0.5 is calibrated so the cache
-    # hit rate at 1% capacity + freq warmup lands at ~90% — the regime the
-    # reference paper (arXiv 2208.05321) reports for real Criteo; the reference's
-    # own synthetic generator (baselines/data/custom.py) uses 0.25, which yields
-    # an unrealistically cold ~67%.
+    # Long-tail skew of the synthetic id stream. 0.5 yields a measured
+    # steady-state hit rate of ~0.80-0.85 at 1% capacity + freq warmup —
+    # between the reference paper's reported Criteo regimes (arXiv 2208.05321
+    # reports up to ~90% on real Criteo, whose skew is heavier); the
+    # reference's own synthetic generator (baselines/data/custom.py) uses
+    # 0.25, which yields an unrealistically cold ~67%.
     p.add_argument("--skew", type=float, default=0.5)
     p.add_argument("--pallas", action="store_true", default=None)
+    p.add_argument("--resident-threshold", type=int, default=500_000,
+                   help="mixed-kernel execution: tables with <= this many rows "
+                        "are HBM-resident (Criteo-Kaggle: 21 of 26 tables = "
+                        "570k rows = 146MB bf16; the 5 big tables stay cached "
+                        "at --cache-ratio). 0 = all tables cached.")
     args = p.parse_args()
 
     import jax
@@ -129,6 +141,7 @@ def main() -> None:
             # (hash probe + row materialization) per swapped row.
             weight_init="virtual",
             transfer_dtype="bfloat16",
+            resident_threshold=0 if full_resident else args.resident_threshold,
         ),
     )
     total_iters = args.warmup_iters + args.repeats * args.iters
@@ -162,21 +175,46 @@ def main() -> None:
     log("pre-generating batches...")
     batches = [data.make_batch(i) for i in range(total_iters)]
 
-    log(f"warmup {args.warmup_iters} iters (compile)...")
+    log(f"warmup {args.warmup_iters} iters (compile + cache fill)...")
     trainer.train(batches[: args.warmup_iters], num_iters=args.warmup_iters)
 
+    from cachedembedding_tpu.cache.manager import CacheStats
+
     report = None
+    best_stats = None
     for r in range(args.repeats):
         lo = args.warmup_iters + r * args.iters
+        # fresh stats per repeat: the reported hit rate / swap traffic covers
+        # exactly the measured steady-state segment, not the warmup transient
+        trainer.embed.stats = CacheStats()
+        t0 = time.time()
         rep = trainer.train(batches[lo : lo + args.iters], num_iters=args.iters)
-        log(f"repeat {r}: {rep.it_per_s:.2f} it/s, {rep.examples_per_s:.0f} ex/s")
-        if report is None or rep.examples_per_s > report.examples_per_s:
+        if hasattr(trainer.embed, "_drain_writebacks"):
+            trainer.embed._drain_writebacks()  # eviction D2H inside the clock
+        dt = time.time() - t0
+        ex_s = args.iters * cfg.batch_size / dt
+        seg = trainer.embed.stats
+        log(
+            f"repeat {r}: {args.iters / dt:.2f} it/s, {ex_s:.0f} ex/s, "
+            f"hit={seg.hit_rate():.4f} "
+            f"swap_in={seg.swap_in_bytes / 2**30:.3f}GiB "
+            f"swap_out={seg.swap_out_bytes / 2**30:.3f}GiB"
+        )
+        if report is None or ex_s > report.examples_per_s:
+            rep.examples_per_s = ex_s
+            rep.it_per_s = args.iters / dt
             report = rep
+            best_stats = seg
     log(
         f"best: {report.it_per_s:.2f} it/s, {report.examples_per_s:.0f} ex/s, "
         f"hit_rate={report.hit_rate:.4f}"
     )
-    log(trainer.embed.stats.summary())
+    if not full_resident and best_stats is not None and args.iters >= 100:
+        assert best_stats.swap_out_bytes > 0, (
+            "steady-state segment carried no eviction writebacks — the bench "
+            "is not measuring the cache's real cost; raise --iters"
+        )
+    log(best_stats.summary() if best_stats is not None else trainer.embed.stats.summary())
 
     print(
         json.dumps(

@@ -27,20 +27,53 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def timeit(fn, *args, iters=8):
-    """Best-of differential timing of a jitted fn chained `iters` times."""
+def timeit(fn, *args, iters=32):
+    """Differential timing with a DATA DEPENDENCY between iterations: each
+    call's first array argument is perturbed by a scalar derived from the
+    previous output, defeating any backend memoization of identical executes
+    and forcing serial execution. Times (iters) minus (1) chained calls."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
+    first = args[0]
+
+    @jax.jit
+    def chained(x0, rest, eps):
+        # eps increments every call, so the input VALUES differ each iteration
+        # (the tunnel backend memoizes executes on identical inputs) and the
+        # carry chain forces serial execution.
+        if jnp.issubdtype(x0.dtype, jnp.integer):
+            x = x0 + (eps * 0).astype(x0.dtype)
+        else:
+            x = x0 * (1 + eps * 1e-30).astype(x0.dtype)
+        out = fn(x, *rest)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return out, eps + 1 + leaf.ravel()[0].astype(jnp.float32) * 0
+
+    def run(k):
+        eps = jnp.float32(0.0)
+        out = None
+        for _ in range(k):
+            out, eps = chained(first, args[1:], eps)
+        # block_until_ready does NOT wait on the tunneled backend; a scalar
+        # readback is the only true synchronization point.
+        import numpy as _np
+
+        _ = _np.asarray(eps)
+        return out
+
+    run(1)
+    t_short, t_long = [], []
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        run(1)
+        t_short.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run(1 + iters)
+        t_long.append(time.perf_counter() - t0)
+    # min each term SEPARATELY: differencing two noisy measurements and then
+    # taking the min of the difference biases toward zero on a shared chip.
+    return max((min(t_long) - min(t_short)) / iters, 0.0)
 
 
 def main():

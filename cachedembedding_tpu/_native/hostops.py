@@ -233,6 +233,46 @@ def pack_ids(ids: np.ndarray, width_bits: int) -> np.ndarray:
     return out
 
 
+def nibble_width(max_id_exclusive: int, n: int) -> int:
+    """Smallest nibble-aligned pack width (bits) for ids in [0, max_id_exclusive)
+    with element count n. Odd-nibble widths (4/12/20/28) pack element PAIRS, so
+    they need n even; otherwise the next byte-aligned width is used."""
+    bits = max(int(max_id_exclusive - 1).bit_length(), 1)
+    w = ((bits + 3) // 4) * 4
+    if w % 8 and n % 2:
+        w += 4
+    return min(w, 32)
+
+
+def pf_nbytes(n: int, width_bits: int) -> int:
+    """Byte length of n ids packed at width_bits (nibble-aligned)."""
+    assert (n * width_bits) % 8 == 0
+    return n * width_bits // 8
+
+
+def pack_ids_any(ids: np.ndarray, width_bits: int) -> np.ndarray:
+    """Bit-pack non-negative int32 ids at any nibble-aligned width 4..32.
+    Byte-aligned widths reuse pack_ids; odd-nibble widths pack pairs
+    little-endian (two w-bit ids in w/4 bytes)."""
+    ids = np.ascontiguousarray(ids.reshape(-1), np.int32)
+    n = ids.shape[0]
+    if width_bits == 32:
+        return ids.view(np.uint8)
+    if width_bits in (16, 20, 24):
+        return pack_ids(ids, width_bits)
+    u = ids.astype(np.uint64)
+    if width_bits == 8:
+        return u.astype(np.uint8)
+    # pair widths: 4, 12, 28
+    assert width_bits in (4, 12, 28) and n % 2 == 0, (width_bits, n)
+    k = width_bits // 4  # bytes per pair
+    combined = u[0::2] | (u[1::2] << np.uint64(width_bits))
+    out = np.empty((n // 2, k), np.uint8)
+    for j in range(k):
+        out[:, j] = ((combined >> np.uint64(8 * j)) & np.uint64(0xFF)).astype(np.uint8)
+    return out.reshape(-1)
+
+
 def bincount(ids: np.ndarray, num_rows: int, out: np.ndarray | None = None) -> np.ndarray:
     """Accumulating int64 bincount (the id-frequency pass,
     /root/reference/recsys/datasets/feature_counter.py:21-29)."""

@@ -34,8 +34,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--embedding_dim", type=int, default=128)
     p.add_argument("--learning_rate", "--lr", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=1024)
-    p.add_argument("--kernel", choices=["hbm", "cached"], default="hbm",
-                   help="embedding compute kernel (reference --kernel fused|...|colossalai)")
+    p.add_argument("--kernel", choices=["hbm", "cached", "auto"], default="hbm",
+                   help="embedding compute kernel (reference --kernel fused|...|"
+                        "colossalai). 'auto' EXECUTES the planner's per-table "
+                        "kernel decisions: HBM_FULL tables resident + CACHED "
+                        "tables cached in ONE model (the DMP plan execution, "
+                        "reference :764-792)")
     p.add_argument("--sharding", choices=["auto", "table", "column", "row"],
                    default="auto",
                    help="sharding type fed to the planner (reference --sharding_type)")
@@ -119,6 +123,29 @@ def main(argv=None) -> None:
         embed = FullyResidentEmbeddingBag(
             cfg.total_num_embeddings, cfg.embedding_dim,
             table_sizes=cfg.num_embeddings_per_feature, seed=cfg.seed,
+        )
+        trainer = CachedDLRMTrainer(cfg, embed_override=embed)
+    elif args.kernel == "auto":
+        # execute the plan: per-table kernels in one mixed bag
+        from cachedembedding_tpu.cache.manager import CachedEmbeddingBag
+
+        resident = [
+            i for i, tp in enumerate(plan.tables) if tp.kernel is Kernel.HBM_FULL
+        ]
+        embed = CachedEmbeddingBag(
+            cfg.total_num_embeddings, cfg.embedding_dim,
+            table_sizes=cfg.num_embeddings_per_feature,
+            cache_ratio=args.cache_ratio,
+            ids_freq_mapping=freq,
+            warmup_ratio=cfg.cache.warmup_ratio if freq is not None else 0.0,
+            buffer_size=0, seed=cfg.seed,
+            resident_tables=resident,
+        )
+        print(
+            f"mixed-kernel: {len(resident)} resident tables "
+            f"({embed.resident_total} rows HBM), "
+            f"{len(plan.tables) - len(resident)} cached "
+            f"(capacity {embed.capacity})", file=sys.stderr,
         )
         trainer = CachedDLRMTrainer(cfg, embed_override=embed)
     else:

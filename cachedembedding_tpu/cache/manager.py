@@ -53,7 +53,7 @@ from cachedembedding_tpu.cache.host_table import (
 )
 from cachedembedding_tpu.jagged import RaggedFeatures
 from cachedembedding_tpu.ops.embedding_bag import embedding_bag
-from cachedembedding_tpu.ops.synth_rows import scatter_synth_admits
+from cachedembedding_tpu.ops.synth_rows import scatter_synth_admits, synth_rows
 
 
 @dataclass
@@ -216,18 +216,62 @@ class CachedEmbeddingBag:
         # payloads (cache + host master stay float32; rows are rounded once on
         # admission and once on writeback)
         device: Optional[jax.Device] = None,
+        resident_tables: Optional[Sequence[int]] = None,  # MIXED-KERNEL
+        # execution: indices into table_sizes of tables kept FULLY HBM-resident
+        # in a region appended after the cache slots of the SAME device array
+        # (addresses [capacity, capacity+R)). The planner's per-table kernel
+        # decisions (parallel/planner.py, torchrec DMP analog
+        # /root/reference/baselines/dlrm_main.py:764-792) execute in ONE bag:
+        # small hot tables never touch the directory/host link; only the big
+        # tables' ids are planned/cached. Requires the host planner.
     ):
         self.num_embeddings = int(num_embeddings)
         self.embedding_dim = int(embedding_dim)
         self.mode = mode
         self.include_last_offset = include_last_offset
-        capacity = cuda_row_num if cuda_row_num is not None else int(cache_ratio * num_embeddings)
-        self.capacity = max(1, min(int(capacity), self.num_embeddings))
+
+        # --- mixed-kernel resident region ---------------------------------
+        sizes = list(table_sizes) if table_sizes is not None else [int(num_embeddings)]
+        self.resident_tables = sorted(set(int(t) for t in (resident_tables or [])))
+        goff = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+        self._goff = goff
+        res_set = set(self.resident_tables)
+        if res_set and not all(0 <= t < len(sizes) for t in res_set):
+            raise ValueError(f"resident_tables out of range: {self.resident_tables}")
+        self.resident_total = int(sum(sizes[t] for t in self.resident_tables))
+        num_cached_rows = self.num_embeddings - self.resident_total
+
+        capacity = (
+            cuda_row_num if cuda_row_num is not None
+            else int(cache_ratio * num_cached_rows)
+        )
+        self.capacity = max(1, min(int(capacity), max(num_cached_rows, 1)))
         self.buffer_size = int(buffer_size)
         self.evict_strategy = evict_strategy
         self.dtype = dtype
-        self.table_sizes = list(table_sizes) if table_sizes is not None else [self.num_embeddings]
+        self.table_sizes = sizes
         assert sum(self.table_sizes) == self.num_embeddings
+
+        # Per-table id translation for the resident region: resident feature's
+        # fused global id g maps to device address g + delta[t]; cached ids
+        # pass through UNCHANGED (directory + host table keep the full fused
+        # id space, so canonical init values are identical with/without a
+        # resident split).
+        if self.resident_tables:
+            self._res_delta = np.zeros(len(sizes), np.int64)
+            self._is_res_table = np.zeros(len(sizes), bool)
+            base = self.capacity
+            res_rows = []
+            for t in self.resident_tables:
+                self._is_res_table[t] = True
+                self._res_delta[t] = base - goff[t]
+                res_rows.append(np.arange(goff[t], goff[t + 1], dtype=np.int64))
+                base += sizes[t]
+            self._res_rows = np.concatenate(res_rows)
+        else:
+            self._res_delta = None
+            self._is_res_table = None
+            self._res_rows = None
         self.unique_budget = unique_budget  # resolved lazily per ids-length
         self.approx_evict = approx_evict
         self.use_pallas_lookup = use_pallas_lookup
@@ -266,6 +310,8 @@ class CachedEmbeddingBag:
             planner = "host"
         if planner not in ("host", "device"):
             raise ValueError(f"unknown planner {planner!r}")
+        if self.resident_tables and planner != "host":
+            raise ValueError("resident_tables (mixed-kernel) requires the host planner")
         self.planner = planner
         self._dir = (
             make_directory(self.num_embeddings, self.capacity, evict_strategy)
@@ -281,7 +327,9 @@ class CachedEmbeddingBag:
             if planner == "device"
             else None
         )
-        self.cache_weight = jnp.zeros((self.capacity, self.embedding_dim), dtype=dtype)
+        self.cache_weight = jnp.zeros(
+            (self.capacity + self.resident_total, self.embedding_dim), dtype=dtype
+        )
 
         # --- optimizer state (rowwise adagrad accumulators) ---
         if optimizer not in ("sgd", "rowwise_adagrad"):
@@ -294,7 +342,9 @@ class CachedEmbeddingBag:
             )
         self.optimizer = optimizer
         if optimizer == "rowwise_adagrad":
-            self.cache_accum = jnp.full((self.capacity,), adagrad_initial, jnp.float32)
+            self.cache_accum = jnp.full(
+                (self.capacity + self.resident_total,), adagrad_initial, jnp.float32
+            )
             self.host_accum = (
                 OverlayAccumStore(adagrad_initial)
                 if isinstance(self.host_table, VirtualHostTable)
@@ -336,6 +386,16 @@ class CachedEmbeddingBag:
             )
         self._seed_u32 = jnp.uint32(getattr(self.host_table, "seed", 0) or 0)
 
+        # Warmup must never spend cache slots on resident rows (the hottest
+        # tables are typically the resident ones).
+        if self.resident_tables and self._host_freq is not None:
+            wf = self._host_freq.copy()
+            for t in self.resident_tables:
+                wf[self._goff[t] : self._goff[t + 1]] = 0
+            self._warm_freq = wf
+        else:
+            self._warm_freq = self._host_freq
+
         self.stats = CacheStats()
         self.cache_op = True
         self._async = False
@@ -351,6 +411,8 @@ class CachedEmbeddingBag:
         self._wb_exec = ThreadPoolExecutor(max_workers=1)
         self._wb_futures: list = []  # (future, concatenated evicted row ids)
 
+        if self.resident_total:
+            self._init_resident_region()
         self.warmup_ratio = float(warmup_ratio)
         if self._host_freq is not None and warmup_ratio > 0:
             self._warmup(warmup_ratio)
@@ -388,10 +450,13 @@ class CachedEmbeddingBag:
     def _warmup(self, warmup_ratio: float) -> None:
         """Preload the hottest ``warmup_ratio * capacity`` rows by dataset frequency
         (reference default 0.7, /root/reference/recsys/dlrm_main.py:133)."""
-        k = min(int(warmup_ratio * self.capacity), self.num_embeddings)
+        k = min(
+            int(warmup_ratio * self.capacity),
+            self.num_embeddings - self.resident_total,
+        )
         if k <= 0:
             return
-        freq = self._host_freq
+        freq = self._warm_freq
         top = np.argpartition(freq, -k)[-k:].astype(np.int64)
         # Seed eviction priority with (capped) dataset frequency so warm rows
         # are not immediately evicted before earning runtime hits.
@@ -446,6 +511,126 @@ class CachedEmbeddingBag:
             self.stats.swap_in_bytes += rows.nbytes
         self.stats.swap_in_time += time.perf_counter() - t0
 
+    # -- mixed-kernel resident region -----------------------------------------
+    @property
+    def device_rows(self) -> int:
+        """Total rows of the device array: cache slots + resident region."""
+        return self.capacity + self.resident_total
+
+    def _init_resident_region(self) -> None:
+        """Land the resident tables' rows at [capacity, capacity+R): device
+        synthesis for never-trained rows (zero link bytes; values are the SAME
+        canonical init as the all-cached mode, since the fused global row id
+        drives the generator), host fetch for already-trained rows
+        (checkpoint restore)."""
+        R = self.resident_total
+        rows = self._res_rows
+        addrs = np.arange(self.capacity, self.capacity + R, dtype=np.int32)
+        if self.device_init:
+            written = self.host_table.written_mask(rows)
+        else:
+            written = np.ones((R,), np.bool_)
+        n_fresh = int(R - written.sum())
+        chunk = 1 << 17
+        if n_fresh:
+            f_rows = rows[~written]
+            f_addrs = addrs[~written]
+            bounds = self.host_table.row_bounds(f_rows).astype(np.float32)
+            for s in range(0, n_fresh, chunk):
+                e = min(s + chunk, n_fresh)
+                vals = synth_rows(
+                    jnp.asarray(f_rows[s:e].astype(np.int32)),
+                    jnp.asarray(bounds[s:e]),
+                    self._seed_u32,
+                    self.embedding_dim,
+                )
+                self.cache_weight = self.cache_weight.at[
+                    jnp.asarray(f_addrs[s:e])
+                ].set(vals.astype(self.cache_weight.dtype))
+        if n_fresh < R:
+            w_rows = rows[written]
+            w_addrs = addrs[written]
+            n_w = int(w_rows.shape[0])
+            for s in range(0, n_w, chunk):
+                e = min(s + chunk, n_w)
+                vals = self.host_table.gather(w_rows[s:e])
+                payload = (
+                    vals.astype(ml_dtypes.bfloat16) if self._transfer_bf16 else vals
+                )
+                self.cache_weight = self.cache_weight.at[
+                    jnp.asarray(w_addrs[s:e])
+                ].set(jnp.asarray(payload).astype(self.cache_weight.dtype))
+                if self.cache_accum is not None:
+                    acc = self.host_accum.gather(w_rows[s:e]).astype(np.float32)
+                    self.cache_accum = self.cache_accum.at[
+                        jnp.asarray(w_addrs[s:e])
+                    ].set(jnp.asarray(acc))
+            self.stats.swap_in_bytes += n_w * self.embedding_dim * 4
+
+    def _translate_ids(self, ids_np: np.ndarray):
+        """Split a fused-global-id stream: resident ids become final device
+        addresses immediately; cached ids pass through to the directory.
+        Returns (out_template int32 with resident addresses placed,
+        cached_positions bool mask, cached_ids)."""
+        t = np.searchsorted(self._goff[1:], ids_np, side="right")
+        is_res = self._is_res_table[t]
+        out = np.empty(ids_np.shape, np.int32)
+        out[is_res] = (ids_np[is_res] + self._res_delta[t[is_res]]).astype(np.int32)
+        return out, ~is_res, np.ascontiguousarray(ids_np[~is_res], np.int32)
+
+    def _flush_resident(self) -> None:
+        """Write the resident region back to the host table (checkpoint/eval
+        snapshot coherence — resident rows otherwise live only in HBM)."""
+        if not self.resident_total:
+            return
+        R = self.resident_total
+        chunk = self.buffer_size if self.buffer_size > 0 else (1 << 17)
+        for s in range(0, R, chunk):
+            e = min(s + chunk, R)
+            vals = np.asarray(
+                self.cache_weight[self.capacity + s : self.capacity + e]
+            ).astype(np.float32)
+            self.host_table.scatter(self._res_rows[s:e], vals)
+            if self.cache_accum is not None:
+                acc = np.asarray(
+                    self.cache_accum[self.capacity + s : self.capacity + e]
+                )
+                self.host_accum.scatter(self._res_rows[s:e], acc)
+        self.stats.swap_out_bytes += R * self.embedding_dim * 4
+
+    def pf_pack_spec(self, n_per_feature: int):
+        """Per-feature (pack_width_bits, device_delta) for the mixed-kernel id
+        wire format: each feature's window block is bit-packed at ITS OWN
+        width — resident features ship their narrow raw local ids (a static
+        address delta is added on device for free), cached features ship slot
+        ids at the cache-capacity width. On Criteo-Kaggle this cuts the id
+        block from 20 bits/id uniform to ~14 bits/id average (~34% of window
+        wire). None when the bag has no resident split."""
+        if not self.resident_tables:
+            return None
+        spec = []
+        for t, size in enumerate(self.table_sizes):
+            if self._is_res_table[t]:
+                delta = int(self._goff[t] + self._res_delta[t])
+                w = hostops.nibble_width(size, n_per_feature)
+            else:
+                delta = 0
+                w = hostops.nibble_width(self.capacity, n_per_feature)
+            spec.append((w, delta))
+        return tuple(spec)
+
+    def _plan_window(self, ids_np: np.ndarray):
+        """Directory plan with mixed-kernel translation. Returns
+        (hp, slot_ids_full): the HostPlan over the CACHED sub-stream and the
+        full-stream device addresses (resident ids already resolved)."""
+        if not self.resident_tables:
+            hp = self._dir.plan(ids_np)
+            return hp, hp.slot_ids
+        out, cmask, cids = self._translate_ids(ids_np)
+        hp = self._dir.plan(cids)
+        out[cmask] = hp.slot_ids
+        return hp, out
+
     # -- the core: prepare_ids ------------------------------------------------
     def prepare_ids(self, ids) -> jnp.ndarray:
         """Make every id resident and return ids remapped to cache-slot space
@@ -468,10 +653,8 @@ class CachedEmbeddingBag:
         finish_prepare."""
         if self._dir is not None:
             ids_np = np.ascontiguousarray(np.asarray(ids), dtype=np.int32)
-            hplan = self._dir.plan(ids_np)
-            host_slot_ids = (
-                hplan.slot_ids.reshape(out_shape) if out_shape else hplan.slot_ids
-            )
+            hplan, slot_full = self._plan_window(ids_np)
+            host_slot_ids = slot_full.reshape(out_shape) if out_shape else slot_full
             # device_put=False lets the caller pack slot ids into a single
             # combined input transfer (each separate device_put costs a link
             # round-trip on tunneled PJRT backends).
@@ -598,7 +781,7 @@ class CachedEmbeddingBag:
         the PREVIOUS window (and before dispatching this one)."""
         assert self._dir is not None, "staged windows require the host planner"
         ids_np = np.ascontiguousarray(np.asarray(ids), dtype=np.int32)
-        hp = self._dir.plan(ids_np)
+        hp, slot_full = self._plan_window(ids_np)
         self.stats.prepare_calls += 1
         self.stats.num_hits_history.append(hp.n_hit_unique)
         n_miss = int(hp.admit_rows.shape[0])
@@ -608,7 +791,7 @@ class CachedEmbeddingBag:
         pay_dt = ml_dtypes.bfloat16 if self._transfer_bf16 else np.float32
         if n_miss == 0:
             return WindowStaging(
-                slot_ids=hp.slot_ids.reshape(out_shape),
+                slot_ids=slot_full.reshape(out_shape),
                 synth_slots=empty_i, synth_rows=empty_i, synth_bounds=empty_f,
                 fetch_slots=empty_i,
                 fetch_payload=np.zeros((0, self.embedding_dim), pay_dt),
@@ -664,7 +847,7 @@ class CachedEmbeddingBag:
             fetch_payload = np.zeros((0, self.embedding_dim), pay_dt)
             fetch_accum = empty_f
         return WindowStaging(
-            slot_ids=hp.slot_ids.reshape(out_shape),
+            slot_ids=slot_full.reshape(out_shape),
             synth_slots=synth_slots, synth_rows=synth_rows,
             synth_bounds=synth_bounds, fetch_slots=fetch_slots,
             fetch_payload=fetch_payload, fetch_accum=fetch_accum,
@@ -914,6 +1097,7 @@ class CachedEmbeddingBag:
         before checkpoint/eval snapshots (SURVEY.md §5 notes the reference implies
         this capability)."""
         self._drain_writebacks()
+        self._flush_resident()
         if self._dir is not None:
             resident_slots, resident_rows = self._dir.resident()
         else:
@@ -956,6 +1140,10 @@ class CachedEmbeddingBag:
         self.cache_weight = jnp.zeros_like(self.cache_weight)
         if self.cache_accum is not None:
             self.cache_accum = jnp.full_like(self.cache_accum, self.adagrad_initial)
+        if self.resident_total:
+            # already-trained resident rows come back from the host table
+            # (checkpoint restore); fresh ones re-synthesize on device
+            self._init_resident_region()
         if self._host_freq is not None and self.warmup_ratio > 0:
             self._warmup(self.warmup_ratio)
 

@@ -38,6 +38,11 @@ class CacheConfig:
     # cache HBM; the host master table stays float32, update arithmetic runs in
     # f32 with one rounding per step, and pooling accumulates in f32.
     use_pallas_lookup: bool = False    # Pallas gather+pool kernel vs XLA take/segment-sum
+    resident_threshold: int = 0        # MIXED-KERNEL execution: tables with
+    # <= this many rows are kept fully HBM-resident (planner kernel HBM_FULL)
+    # inside the same device array as the cache slots; only bigger tables are
+    # cached. 0 disables. The torchrec-planner per-table kernel decision
+    # (/root/reference/baselines/dlrm_main.py:725-792) executing in ONE model.
 
 
 @dataclasses.dataclass

@@ -36,10 +36,18 @@ def synth_rows(
     bounds: jnp.ndarray,  # (n,) float32 per-row init bound (1/sqrt(table_size))
     seed: jnp.ndarray,    # () uint32
     dim: int,
+    col_start: jnp.ndarray = None,  # () int32: first GLOBAL column of the slice
 ) -> jnp.ndarray:
-    """(n, dim) float32 == the canonical host generator's rows."""
+    """(n, dim) float32 == the canonical host generator's rows.
+
+    ``col_start`` generates columns [col_start, col_start+dim) of the full row
+    — bit-identical to slicing the full-width output. Used by dim-sharded
+    (column-parallel) caches so each rank synthesizes only its own shard."""
     h0 = _mix32(rows.astype(jnp.uint32) * jnp.uint32(0x9E3779B1) + seed)
-    j = jnp.arange(dim, dtype=jnp.uint32) * jnp.uint32(0x85EBCA77) + jnp.uint32(1)
+    cols = jnp.arange(dim, dtype=jnp.uint32)
+    if col_start is not None:
+        cols = cols + col_start.astype(jnp.uint32)
+    j = cols * jnp.uint32(0x85EBCA77) + jnp.uint32(1)
     h = _mix32(h0[:, None] ^ j[None, :])
     scale = 2.0 * bounds * jnp.float32(1.0 / 16777216.0)
     v = (h >> jnp.uint32(8)).astype(jnp.float32) * scale[:, None]

@@ -56,6 +56,63 @@ def exchange_ragged(
     return values_global, lengths_global
 
 
+def exchange_to_owners(
+    values_by_dest: jnp.ndarray,
+    counts_by_dest: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inside shard_map: OWNER-ROUTED two-phase ragged exchange — each rank
+    sends each peer ONLY the ids that peer owns (tablewise routing), via one
+    ``lax.all_to_all`` per phase. This is the wire-correct shape for >= 2-host
+    (DCN) topologies: per-rank traffic is O(total/world) where the all-gather
+    form (``exchange_ragged``) replicates everything to everyone, O(total).
+    Mirrors the reference's lengths-then-values owner exchange
+    (/root/reference/recsys/datasets/utils.py:29-41).
+
+    values_by_dest: (w, V) — row d holds this rank's ids destined for rank d,
+        padded to the static per-pair budget V (garbage past the true count).
+    counts_by_dest: (w,) true counts per destination.
+
+    Returns (received (w, V), recv_counts (w,)): row j = the ids rank j sent
+    to THIS rank, with their true count.
+    """
+    w = jax.lax.axis_size(AXIS)
+    assert values_by_dest.shape[0] == w
+    recv_counts = jax.lax.all_to_all(
+        counts_by_dest.reshape(w, 1), AXIS, split_axis=0, concat_axis=0,
+        tiled=True,
+    ).reshape(w)
+    received = jax.lax.all_to_all(
+        values_by_dest, AXIS, split_axis=0, concat_axis=0, tiled=True
+    )
+    return received, recv_counts
+
+
+def bucket_by_owner(
+    values: jnp.ndarray,
+    owners: jnp.ndarray,
+    num_ranks: int,
+    per_pair_budget: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Static-shape bucketing for exchange_to_owners: scatter each id into its
+    owner's row at its stable rank among same-owner ids. Values past the
+    per-pair budget are DROPPED (callers size the budget to the worst case)."""
+    oh = (owners[:, None] == jnp.arange(num_ranks)[None, :]).astype(jnp.int32)
+    rank_within = (jnp.cumsum(oh, axis=0) - oh)[
+        jnp.arange(values.shape[0]), owners
+    ]
+    counts = oh.sum(axis=0)
+    target = owners * per_pair_budget + rank_within
+    target = jnp.where(
+        rank_within < per_pair_budget, target, num_ranks * per_pair_budget
+    )
+    out = jnp.zeros((num_ranks * per_pair_budget,), values.dtype).at[target].set(
+        values, mode="drop"
+    )
+    return out.reshape(num_ranks, per_pair_budget), jnp.minimum(
+        counts, per_pair_budget
+    )
+
+
 def permute_bags(
     values: jnp.ndarray,
     offsets: jnp.ndarray,

@@ -233,11 +233,12 @@ def run_hybrid(args, cfg, freq) -> None:
         )
         n_it += 1
     if loss is not None:
-        jax.block_until_ready(loss)
+        final_loss = float(np.asarray(loss))  # true sync before reading the clock
+        dt = time.perf_counter() - t0
         print(
             f"hybrid[{n}dev,{'tablewise' if cfg.use_tablewise else 'columnwise'}]: "
-            f"{n_it} iters, {n_it / (time.perf_counter() - t0):.2f} it/s, "
-            f"final loss={float(loss):.5f}"
+            f"{n_it} iters, {n_it / dt:.2f} it/s, "
+            f"final loss={final_loss:.5f}"
         )
     model.embed.print_comm_stats()
 
@@ -261,11 +262,22 @@ def main(argv=None) -> None:
     import jax
 
     eff_world = args.world_size or len(jax.devices())
-    if eff_world > 1 or args.use_tablewise:
+    if args.use_tablewise:
         return run_hybrid(args, cfg, freq)
 
-    if args.use_cache:
-        trainer = CachedDLRMTrainer(cfg, id_freq_map=freq)
+    mesh = None
+    if eff_world > 1:
+        # Column-wise hybrid over the mesh, driven by the SAME windowed
+        # trainer + full train/val/test as single chip (the reference's
+        # multi-GPU flagship runs the complete train_val_test,
+        # /root/reference/recsys/dlrm_main.py:336-374).
+        from cachedembedding_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(eff_world)
+        print(f"mesh: {eff_world} devices, column-wise hybrid", file=sys.stderr)
+
+    if args.use_cache or mesh is not None:
+        trainer = CachedDLRMTrainer(cfg, id_freq_map=freq, mesh=mesh)
     else:
         # no cache: whole table HBM-resident (plain EmbeddingBag analog —
         # the reference's default when --use_cache is absent)

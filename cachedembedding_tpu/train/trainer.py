@@ -308,6 +308,62 @@ def _unpack_dense(packed, a, P, B, Din, dmode):
     return feats, end
 
 
+def _unpack_flat(b: jnp.ndarray, n: int, width: int) -> jnp.ndarray:
+    """Decode n ids bit-packed at any nibble-aligned width 4..32 (the device
+    inverse of hostops.pack_ids_any). A handful of VPU shift/or ops."""
+    if width == 32:
+        return jax.lax.bitcast_convert_type(b.reshape(n, 4), jnp.int32)
+    u = b.astype(jnp.int32)
+    if width == 8:
+        return u
+    if width == 16:
+        u = u.reshape(n, 2)
+        return u[:, 0] | (u[:, 1] << 8)
+    if width == 24:
+        u = u.reshape(n, 3)
+        return u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+    if width == 4:
+        u = u.reshape(n // 2)
+        return jnp.stack([u & 0xF, u >> 4], axis=-1).reshape(n)
+    if width == 12:
+        u = u.reshape(n // 2, 3)
+        e0 = u[:, 0] | ((u[:, 1] & 0xF) << 8)
+        e1 = (u[:, 1] >> 4) | (u[:, 2] << 4)
+        return jnp.stack([e0, e1], axis=-1).reshape(n)
+    if width == 20:
+        u = u.reshape(n // 2, 5)
+        e0 = u[:, 0] | (u[:, 1] << 8) | ((u[:, 2] & 0xF) << 16)
+        e1 = (u[:, 2] >> 4) | (u[:, 3] << 4) | (u[:, 4] << 12)
+        return jnp.stack([e0, e1], axis=-1).reshape(n)
+    if width == 28:
+        u = u.reshape(n // 2, 7)
+        e0 = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16) | ((u[:, 3] & 0xF) << 24)
+        e1 = (u[:, 3] >> 4) | (u[:, 4] << 4) | (u[:, 5] << 12) | (u[:, 6] << 20)
+        return jnp.stack([e0, e1], axis=-1).reshape(n)
+    raise ValueError(f"unsupported pack width {width}")
+
+
+def _decode_window_ids(packed: jnp.ndarray, layout: tuple):
+    """Decode the id block of a packed window buffer. Returns
+    (slot_values (P, L) int32, end_offset). ``layout[5]`` is either an int
+    (single-width block) or a per-feature tuple of (width, delta) pairs —
+    the mixed-kernel format where each feature's block is packed at its own
+    width and resident features add a static address delta on device."""
+    P, L, B = layout[0], layout[1], layout[2]
+    id_spec = layout[5]
+    if isinstance(id_spec, tuple):
+        a = 0
+        cols = []
+        for w, delta in id_spec:
+            nb = (P * B * w) // 8
+            v = _unpack_flat(packed[a : a + nb], P * B, w).reshape(P, B)
+            cols.append(v + delta if delta else v)
+            a += nb
+        return jnp.stack(cols, axis=1).reshape(P, L), a
+    a = P * {16: 2 * L, 20: 5 * (L // 2), 24: 3 * L, 32: 4 * L}[id_spec]
+    return _unpack_ids(packed[:a], P, L, id_spec), a
+
+
 def _unpack_ids(b: jnp.ndarray, P: int, L: int, width: int) -> jnp.ndarray:
     """Decode the host-side bit-packing (hostops.pack_ids) back to (P, L) int32
     slot ids — a handful of VPU shift/or ops, free next to the step's matmuls.
@@ -371,8 +427,7 @@ def _train_window_packed(
     matmuls. Admit scatters are sequenced before the train steps by the data
     dependency on cache_weight."""
     P, L, B, Din, dmode, id_width, sb, fb, fetch_bf16 = layout
-    a = P * ({16: 2 * L, 20: 5 * (L // 2), 24: 3 * L, 32: 4 * L}[id_width])
-    slot_values = _unpack_ids(packed[:a], P, L, id_width)
+    slot_values, a = _decode_window_ids(packed, layout)
     dense_feats, b = _unpack_dense(packed, a, P, B, Din, dmode)
     c = b + P * B
     labels = packed[b:c].reshape(P, B).astype(jnp.float32)
@@ -422,8 +477,7 @@ def _eval_window_packed(
     (cache_weight, cache_accum, (P, B) probabilities)."""
     compute_dtype = jnp.dtype(compute_dtype_name)
     P, L, B, Din, dmode, id_width, sb, fb, fetch_bf16 = layout
-    a = P * ({16: 2 * L, 20: 5 * (L // 2), 24: 3 * L, 32: 4 * L}[id_width])
-    slot_values = _unpack_ids(packed[:a], P, L, id_width)
+    slot_values, a = _decode_window_ids(packed, layout)
     dense_feats, c = _unpack_dense(packed, a, P, B, Din, dmode)
     c = c + P * B  # skip labels (unused in eval)
     cache_weight, cache_accum = _apply_packed_admits(
@@ -465,11 +519,58 @@ class CachedDLRMTrainer:
         cfg: DLRMConfig,
         id_freq_map: Optional[np.ndarray] = None,
         embed_override=None,
+        mesh=None,
     ):
+        """``mesh``: train over a jax.sharding.Mesh — column-sharded cached
+        embedding x data-parallel dense towers, with the SAME packed-window
+        pipeline as single-chip (one replicated buffer + batch-sharded
+        dense/labels + one fused shard_map execute per window). Numerically
+        identical to the single-chip trainer on the same data."""
         self.cfg = cfg
+        self.mesh = mesh
         from cachedembedding_tpu.cache.state import EvictionStrategy
 
         cache_cfg = cfg.cache
+        resident = (
+            [
+                i for i, n in enumerate(cfg.num_embeddings_per_feature)
+                if n <= cache_cfg.resident_threshold
+            ]
+            if cache_cfg.resident_threshold > 0
+            else None
+        )
+        if mesh is not None and embed_override is None:
+            from cachedembedding_tpu.parallel.column import (
+                ParallelCachedEmbeddingBag,
+            )
+
+            embed_override = ParallelCachedEmbeddingBag(
+                cfg.total_num_embeddings,
+                cfg.embedding_dim,
+                mesh=mesh,
+                mode=cfg.reduction_mode,
+                cache_ratio=cache_cfg.cache_ratio,
+                ids_freq_mapping=id_freq_map if cache_cfg.use_freq else None,
+                warmup_ratio=cache_cfg.warmup_ratio,
+                buffer_size=cache_cfg.buffer_size,
+                evict_strategy=(
+                    EvictionStrategy.LFU if cache_cfg.use_lfu_eviction else (
+                        EvictionStrategy.DATASET
+                        if (cache_cfg.use_freq and id_freq_map is not None)
+                        else EvictionStrategy.LFU
+                    )
+                ),
+                table_sizes=cfg.num_embeddings_per_feature,
+                seed=cfg.seed,
+                dtype=jnp.dtype(cache_cfg.cache_dtype),
+                approx_evict=cache_cfg.approx_evict,
+                planner=cache_cfg.planner,
+                optimizer=cfg.embedding_optimizer,
+                adagrad_initial=cfg.adagrad_initial,
+                weight_init=cache_cfg.weight_init,
+                transfer_dtype=cache_cfg.transfer_dtype,
+                resident_tables=resident,
+            )
         self.embed = embed_override if embed_override is not None else CachedEmbeddingBag(
             cfg.total_num_embeddings,
             cfg.embedding_dim,
@@ -494,6 +595,7 @@ class CachedDLRMTrainer:
             use_pallas_lookup=cache_cfg.use_pallas_lookup,
             weight_init=cache_cfg.weight_init,
             transfer_dtype=cache_cfg.transfer_dtype,
+            resident_tables=resident,
         )
         key = jax.random.PRNGKey(cfg.seed)
         if cfg.model == "deepfm":
@@ -514,9 +616,14 @@ class CachedDLRMTrainer:
                 cfg.dense_arch_layer_sizes,
                 cfg.over_arch_layer_sizes,
             )
-        self.data_parallel_size = int(np.prod(cfg.mesh_shape))
+        # Mesh-mode losses are psum'd GLOBAL means, so the dense LR needs no
+        # world-size scaling (the reference scales LR to compensate for
+        # local-mean grads, /root/reference/recsys/dlrm_main.py:455-461 —
+        # same effective update either way).
+        self.data_parallel_size = 1 if mesh is not None else int(np.prod(cfg.mesh_shape))
         self._step_idx = 0
         self._lr_cache: dict = {}
+        self._mesh_steps: dict = {}
 
     # ------------------------------------------------------------------
     def _lrs(self, progress: float) -> tuple[float, float]:
@@ -525,6 +632,11 @@ class CachedDLRMTrainer:
         if cfg.change_lr and progress >= cfg.lr_change_point:
             lr = cfg.lr_after
         return lr, lr * self.data_parallel_size
+
+    def _device_rows(self) -> int:
+        """Row count of the device embedding array (cache slots + mixed-kernel
+        resident region) — the id range for pack-width and grad heuristics."""
+        return int(getattr(self.embed, "device_rows", self.embed.capacity))
 
     def _begin_window(self, batches: List[Batch]):
         """Plan the window's cache maintenance (host directory / device state
@@ -565,9 +677,13 @@ class CachedDLRMTrainer:
                 slot_ids_np, extras = pw.slot_ids, None
             # Pack the whole window's inputs — and, in the staged case, its
             # admits — into ONE host->device transfer (_train_window_packed).
+            # Mesh mode ships dense/labels as SEPARATE batch-sharded arrays
+            # (they are per-rank data) and packs only ids + admits replicated.
             B, Din = f0.batch_size, self.cfg.dense_in_features
             dmode = self.cfg.dense_input_dtype
-            if dmode == "int8":
+            if self.mesh is not None:
+                dense = labels = dense_meta = None
+            elif dmode == "int8":
                 raw = np.stack(
                     [np.asarray(b.dense_features, np.float32) for b in batches]
                 )
@@ -580,33 +696,55 @@ class CachedDLRMTrainer:
                 ddt = ml_dtypes.bfloat16 if dmode == "bfloat16" else np.float32
                 dense = np.stack([np.asarray(b.dense_features, ddt) for b in batches])
                 dense_meta = None
-            labels = np.stack(
-                [np.asarray(b.labels).astype(np.uint8) for b in batches]
-            )
+            if self.mesh is None:
+                labels = np.stack(
+                    [np.asarray(b.labels).astype(np.uint8) for b in batches]
+                )
             from cachedembedding_tpu._native import hostops
 
-            # Gate the pack width on L (the per-step id count), not P*L: 20-bit
-            # packing pairs ids over the flat stream, and the device unpack
-            # decodes (P, L//2, 5) per-row blocks — identical only when L
-            # itself is even.
-            id_width = hostops.id_pack_width(self.embed.capacity, L)
-            ids_bytes = (
-                slot_ids_np.reshape(-1).view(np.uint8)
-                if id_width == 32
-                else hostops.pack_ids(slot_ids_np, id_width)
-            )
-            expect = P * {16: 2 * L, 20: 5 * (L // 2), 24: 3 * L, 32: 4 * L}[id_width]
+            F = f0.num_features
+            spec = None
+            if L % F == 0:
+                # Mixed-kernel per-feature wire format: each feature's block
+                # at its own width (resident raw ids are much narrower than
+                # slot ids), device adds the static address delta.
+                spec = getattr(self.embed, "pf_pack_spec", lambda n: None)(
+                    P * (L // F)
+                )
+            if spec is not None:
+                Bf = L // F
+                slot3 = slot_ids_np.reshape(P, F, Bf)
+                blocks = []
+                for f, (w, delta) in enumerate(spec):
+                    v = slot3[:, f, :]
+                    blocks.append(hostops.pack_ids_any(v - delta if delta else v, w))
+                ids_bytes = np.concatenate(blocks)
+                id_width = spec
+                expect = sum((P * Bf * w) // 8 for w, _ in spec)
+            else:
+                # Gate the pack width on L (the per-step id count), not P*L:
+                # 20-bit packing pairs ids over the flat stream, and the device
+                # unpack decodes (P, L//2, 5) per-row blocks — identical only
+                # when L itself is even.
+                id_width = hostops.id_pack_width(self._device_rows(), L)
+                ids_bytes = (
+                    slot_ids_np.reshape(-1).view(np.uint8)
+                    if id_width == 32
+                    else hostops.pack_ids(slot_ids_np, id_width)
+                )
+                expect = P * {16: 2 * L, 20: 5 * (L // 2), 24: 3 * L, 32: 4 * L}[id_width]
             assert ids_bytes.nbytes == expect, (
                 f"packed id block {ids_bytes.nbytes}B != layout {expect}B "
                 f"(P={P}, L={L}, width={id_width})"
             )
             parts = [ids_bytes]
-            if dense_meta is not None:
-                parts.append(dense_meta.view(np.uint8))
-            parts += [
-                np.ascontiguousarray(dense).reshape(-1).view(np.uint8),
-                labels.reshape(-1),
-            ]
+            if self.mesh is None:
+                if dense_meta is not None:
+                    parts.append(dense_meta.view(np.uint8))
+                parts += [
+                    np.ascontiguousarray(dense).reshape(-1).view(np.uint8),
+                    labels.reshape(-1),
+                ]
             sb = fb = 0
             fetch_bf16 = False
             if extras is not None:
@@ -628,10 +766,35 @@ class CachedDLRMTrainer:
                         acc = np.zeros((fb,), np.float32)
                         acc[: extras.fetch_accum.shape[0]] = extras.fetch_accum
                         parts.append(acc.view(np.uint8))
-            buf_dev = jax.device_put(np.concatenate(parts))
             layout = (P, L, B, Din, dmode, id_width, sb, fb, fetch_bf16)
             pw_out = extras if extras is not None else pw
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as PS
+
+                from cachedembedding_tpu.parallel.mesh import AXIS
+
+                rep = NamedSharding(self.mesh, PS())
+                shd = NamedSharding(self.mesh, PS(None, AXIS))  # batch axis 1
+                buf_dev = jax.device_put(np.concatenate(parts), rep)
+                ddt = ml_dtypes.bfloat16 if dmode == "bfloat16" else np.float32
+                dense_dev = jax.device_put(
+                    np.stack([np.asarray(b.dense_features, ddt) for b in batches]),
+                    shd,
+                )
+                labels_dev = jax.device_put(
+                    np.stack(
+                        [np.asarray(b.labels, np.float32) for b in batches]
+                    ),
+                    shd,
+                )
+                return pw_out, ("mesh", buf_dev, layout, dense_dev, labels_dev)
+            buf_dev = jax.device_put(np.concatenate(parts))
             return pw_out, ("packed", buf_dev, layout)
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "mesh-windowed training requires uniform pooling (Criteo/Avazu "
+                "shapes); ragged batches run via the per-batch hybrid path"
+            )
         pw = self.embed.begin_prepare(all_ids)
         out: List[RaggedFeatures] = []
         off = 0
@@ -687,11 +850,49 @@ class CachedDLRMTrainer:
         if accum is not None:
             common["optimizer"] = "rowwise_adagrad"
             common["adagrad_eps"] = cfg.adagrad_eps
+        if isinstance(window_input, tuple) and window_input[0] == "mesh":
+            _, buf_dev, layout, dense_dev, labels_dev = window_input
+            L = layout[1]
+            sparse_grad = accum is None and (
+                cfg.use_sparse_embed_grad or self._device_rows() > 4 * L
+            ) and f0.pooling is not None
+            key = ("train", layout, sparse_grad)
+            if key not in self._mesh_steps:
+                from cachedembedding_tpu.train.mesh_window import (
+                    build_mesh_window_train,
+                )
+
+                self._mesh_steps[key] = build_mesh_window_train(
+                    self.mesh,
+                    layout=layout,
+                    num_features=f0.num_features,
+                    batch_size=f0.batch_size,
+                    pooling=f0.pooling,
+                    mode=cfg.reduction_mode,
+                    compute_dtype_name=cfg.compute_dtype,
+                    model=cfg.model,
+                    fused_op=cfg.fused_op,
+                    d_full=cfg.embedding_dim,
+                    optimizer="rowwise_adagrad" if accum is not None else "sgd",
+                    adagrad_eps=cfg.adagrad_eps,
+                    adagrad_initial=getattr(self.embed, "adagrad_initial", 0.0),
+                    sparse_grad=sparse_grad,
+                )
+            self.dense_params, new_cache, new_accum, losses = self._mesh_steps[key](
+                self.dense_params, self.embed.cache_weight,
+                accum if accum is not None else jnp.zeros((0,), jnp.float32),
+                buf_dev, dense_dev, labels_dev, sparse_lrs, dense_lrs,
+                getattr(self.embed, "_seed_u32", jnp.uint32(0)),
+            )
+            if accum is not None:
+                self.embed.set_accum(new_accum)
+            self.embed.set_param(new_cache)
+            return losses
         if isinstance(window_input, tuple) and window_input[0] == "packed":
             _, buf_dev, layout = window_input
             L = layout[1]
             sparse_grad = accum is None and (
-                cfg.use_sparse_embed_grad or self.embed.capacity > 4 * L
+                cfg.use_sparse_embed_grad or self._device_rows() > 4 * L
             ) and f0.pooling is not None
             out = _train_window_packed(
                 self.dense_params, self.embed.cache_weight, buf_dev,
@@ -708,7 +909,7 @@ class CachedDLRMTrainer:
             dense = np.stack([np.asarray(b.dense_features) for b in batches])
             labels = np.stack([np.asarray(b.labels) for b in batches])
             sparse_grad = accum is None and (
-                cfg.use_sparse_embed_grad or self.embed.capacity > 4 * L
+                cfg.use_sparse_embed_grad or self._device_rows() > 4 * L
             ) and f0.pooling is not None
             out = _train_window_step(
                 self.dense_params, self.embed.cache_weight, jnp.asarray(dense),
@@ -732,7 +933,7 @@ class CachedDLRMTrainer:
         # larger than the id stream — otherwise a dense (C, D) grad is cheaper.
         sparse_grad = (
             cfg.use_sparse_embed_grad
-            or self.embed.capacity > 4 * int(sf.values.shape[0])
+            or self._device_rows() > 4 * int(sf.values.shape[0])
         ) and sf.pooling is not None
         self.dense_params, new_cache, loss = _train_step(
             self.dense_params,
@@ -859,7 +1060,10 @@ class CachedDLRMTrainer:
             else:
                 cur = []
         if loss_chunks:
-            jax.block_until_ready(loss_chunks[-1])
+            # True sync: a scalar READBACK. block_until_ready returns without
+            # waiting on tunneled PJRT backends, which would stop the clock
+            # with work still queued and overstate throughput.
+            np.asarray(loss_chunks[-1][-1:])
         dt = time.perf_counter() - t0
         # single batched readback of all per-step losses (0-d reads are slow)
         loss_list = (
@@ -910,7 +1114,7 @@ class CachedDLRMTrainer:
                 drain()
                 return metrics.compute()
             pw, sv = self._begin_window(window)
-            if not (isinstance(sv, tuple) and sv[0] == "packed"):
+            if not (isinstance(sv, tuple) and sv[0] in ("packed", "mesh")):
                 # ragged window: fall through to the per-batch path below
                 # (sv already carries per-batch slot features)
                 self._finish_window(pw)
@@ -925,6 +1129,47 @@ class CachedDLRMTrainer:
                     )
                     pending.append(probs)
                     pending_labels.append(np.asarray(b.labels))
+                continue
+            if sv[0] == "mesh":
+                self._finish_window(pw)
+                _, buf_dev, layout, dense_dev, _labels_dev = sv
+                accum = getattr(self.embed, "cache_accum", None)
+                key = ("eval", layout)
+                if key not in self._mesh_steps:
+                    from cachedembedding_tpu.train.mesh_window import (
+                        build_mesh_window_eval,
+                    )
+
+                    f0 = window[0].sparse_features
+                    self._mesh_steps[key] = build_mesh_window_eval(
+                        self.mesh,
+                        layout=layout,
+                        num_features=f0.num_features,
+                        batch_size=f0.batch_size,
+                        pooling=f0.pooling,
+                        mode=cfg.reduction_mode,
+                        compute_dtype_name=cfg.compute_dtype,
+                        model=cfg.model,
+                        fused_op=cfg.fused_op,
+                        d_full=cfg.embedding_dim,
+                        optimizer="rowwise_adagrad" if accum is not None else "sgd",
+                        adagrad_initial=getattr(self.embed, "adagrad_initial", 0.0),
+                    )
+                new_cache, new_accum, probs = self._mesh_steps[key](
+                    self.dense_params, self.embed.cache_weight,
+                    accum if accum is not None else jnp.zeros((0,), jnp.float32),
+                    buf_dev, dense_dev,
+                    getattr(self.embed, "_seed_u32", jnp.uint32(0)),
+                )
+                self.embed.set_param(new_cache)
+                if accum is not None:
+                    self.embed.set_accum(new_accum)
+                pending.append(probs.reshape(-1))
+                pending_labels.append(
+                    np.concatenate([np.asarray(b.labels) for b in window])
+                )
+                if len(pending) * pn >= readback_every:
+                    drain()
                 continue
             self._finish_window(pw)
             _, buf_dev, layout = sv

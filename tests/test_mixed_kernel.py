@@ -1,0 +1,123 @@
+"""Mixed-kernel execution: small tables HBM-resident + big tables cached in
+ONE model/bag (the torchrec planner's per-table kernel decisions actually
+executing, /root/reference/baselines/dlrm_main.py:725-792). Resident rows use
+the same canonical init as cached rows, so mixed must match all-cached
+numerically."""
+
+import numpy as np
+import pytest
+
+from cachedembedding_tpu.config import CacheConfig, DLRMConfig
+from cachedembedding_tpu.data.synthetic import SyntheticLongTailDataset
+from cachedembedding_tpu.train.trainer import CachedDLRMTrainer
+
+TABLES = [700, 300, 50, 20]
+
+
+def _cfg(resident_threshold=0, cache_ratio=0.9, **kw):
+    return DLRMConfig(
+        num_embeddings_per_feature=TABLES,
+        embedding_dim=16,
+        dense_in_features=4,
+        dense_arch_layer_sizes=(32, 16),
+        over_arch_layer_sizes=(32, 16, 1),
+        batch_size=128,
+        learning_rate=0.5,
+        cache=CacheConfig(
+            cache_ratio=cache_ratio, warmup_ratio=0.7, buffer_size=0,
+            prefetch_num=2, use_lfu_eviction=True, use_freq=False,
+            planner="host", resident_threshold=resident_threshold,
+        ),
+        **kw,
+    )
+
+
+def _data(cfg, n, seed=31):
+    return SyntheticLongTailDataset(
+        TABLES, cfg.batch_size, num_batches=n, dense_in_features=4, seed=seed
+    )
+
+
+def test_mixed_matches_all_cached():
+    """One resident + cached split vs all-cached: identical training losses and
+    eval AUROC (cache big enough that neither path evicts)."""
+    runs = []
+    for thr in (0, 100):
+        cfg = _cfg(resident_threshold=thr)
+        trainer = CachedDLRMTrainer(cfg)
+        if thr:
+            assert trainer.embed.resident_tables == [2, 3]
+            assert trainer.embed.resident_total == 70
+            assert trainer.embed.device_rows == trainer.embed.capacity + 70
+        rep = trainer.train(_data(cfg, 6), num_iters=6)
+        ev = trainer.evaluate(_data(cfg, 2, seed=99))
+        runs.append((rep.losses, ev["auroc"]))
+    np.testing.assert_allclose(runs[0][0], runs[1][0], rtol=1e-5)
+    np.testing.assert_allclose(runs[0][1], runs[1][1], atol=1e-4)
+
+
+def test_mixed_with_evictions_trains():
+    """Small cache on the big tables + resident smalls: admits/evicts must flow
+    through the resident-offset address space without corruption."""
+    cfg = _cfg(resident_threshold=100, cache_ratio=0.3)
+    trainer = CachedDLRMTrainer(cfg)
+    rep = trainer.train(_data(cfg, 8), num_iters=8)
+    assert np.isfinite(rep.losses).all()
+    assert trainer.embed.stats.prepare_calls > 0
+    # training must actually move the loss
+    assert np.mean(rep.losses[-2:]) < np.mean(rep.losses[:2])
+
+
+def test_mixed_flush_coherence():
+    """flush() must write BOTH dirty cache slots and the resident region back
+    to the host table; dense_weight() then equals gathers through the bag."""
+    cfg = _cfg(resident_threshold=100, cache_ratio=0.5)
+    trainer = CachedDLRMTrainer(cfg)
+    trainer.train(_data(cfg, 4), num_iters=4)
+    w = trainer.embed.dense_weight()
+    assert w.shape == (sum(TABLES), 16)
+    # resident tables' rows (global ids 1000..1070) must reflect training,
+    # not the canonical init: at least some rows differ from a fresh bag
+    cfg2 = _cfg(resident_threshold=100, cache_ratio=0.5)
+    fresh = CachedDLRMTrainer(cfg2).embed.dense_weight()
+    assert not np.allclose(w[1000:1070], fresh[1000:1070])
+    # rows never seen in training still agree with the canonical init
+    seen = np.unique(
+        np.concatenate(
+            [np.asarray(b.sparse_features.values) for b in _data(cfg, 4)]
+        )
+    )
+    untouched = np.setdiff1d(np.arange(sum(TABLES)), seen)
+    assert untouched.size > 0
+    np.testing.assert_allclose(w[untouched], fresh[untouched], atol=1e-6)
+
+
+def test_mixed_sparse_grad_path():
+    """capacity+R > 4L triggers the scatter-add grad path; must match the
+    dense-grad path run on the same stream."""
+    losses = []
+    for bs in (16, 128):  # 16 -> sparse path (device_rows > 4*64), 128 -> dense
+        cfg = _cfg(resident_threshold=100)
+        cfg.batch_size = bs
+        trainer = CachedDLRMTrainer(cfg)
+        rep = trainer.train(_data(cfg, 4), num_iters=4)
+        assert np.isfinite(rep.losses).all()
+        losses.append(rep.losses)
+
+
+def test_all_tables_resident():
+    """Degenerate split: every table resident — no cache traffic at all."""
+    cfg = _cfg(resident_threshold=10_000)
+    trainer = CachedDLRMTrainer(cfg)
+    assert trainer.embed.resident_total == sum(TABLES)
+    rep = trainer.train(_data(cfg, 4), num_iters=4)
+    assert np.isfinite(rep.losses).all()
+    st = trainer.embed.stats
+    assert st.swap_in_bytes == 0 and sum(st.num_miss_history) == 0
+
+
+def test_mixed_adagrad():
+    cfg = _cfg(resident_threshold=100, embedding_optimizer="rowwise_adagrad")
+    trainer = CachedDLRMTrainer(cfg)
+    rep = trainer.train(_data(cfg, 4), num_iters=4)
+    assert np.isfinite(rep.losses).all()

@@ -94,3 +94,44 @@ def test_hybrid_runs_on_subset_mesh(cpu_devices):
         lr = jnp.asarray(0.1, jnp.float32)
         _, _, loss = step(params, cw, dn, jnp.asarray(slot_ids), lb, lr, lr)
         assert np.isfinite(float(loss))
+
+
+def test_owner_routed_exchange(cpu_devices):
+    """exchange_to_owners must deliver each id to exactly its owner rank with
+    O(total/world) per-rank traffic — the >= 2-host wire shape (reference
+    lengths-then-values owner exchange, recsys/datasets/utils.py:29-41)."""
+    from cachedembedding_tpu.parallel.all_to_all import (
+        bucket_by_owner,
+        exchange_to_owners,
+    )
+
+    w = 8
+    mesh = make_mesh(w)
+    n_local, V = 32, 16  # per-pair budget V << w * n_local: O(world) shape
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 1000, (w, n_local)).astype(np.int32)
+    owners = (ids % w).astype(np.int32)  # owner = id % world (tablewise hash)
+
+    def fn(ids_local, owners_local):
+        bucketed, counts = bucket_by_owner(ids_local, owners_local, w, V)
+        return exchange_to_owners(bucketed, counts)
+
+    mapped = jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS)), check_vma=False,
+        )
+    )
+    recv, counts = mapped(
+        jax.device_put(jnp.asarray(ids.reshape(-1)), NamedSharding(mesh, P(AXIS))),
+        jax.device_put(jnp.asarray(owners.reshape(-1)), NamedSharding(mesh, P(AXIS))),
+    )
+    recv = np.asarray(recv).reshape(w, w, V)   # [owner_rank, src_rank, V]
+    counts = np.asarray(counts).reshape(w, w)  # [owner_rank, src_rank]
+    for own in range(w):
+        for src in range(w):
+            want = np.sort(ids[src][owners[src] == own])
+            got = np.sort(recv[own, src, : counts[own, src]])
+            np.testing.assert_array_equal(got, want)
+    # wire shape: each rank communicates w*V = 128 ids, NOT w*n_local*w = 2048
+    assert recv[0].size // w == V * w // w and V * w < w * n_local * w
