@@ -187,28 +187,64 @@ def _scan_window(
     dense_params, cache_weight, xs,
     *, num_features, batch_size, pooling, mode, compute_dtype, use_pallas,
     sparse_grad, model="dlrm", optimizer="sgd", adagrad_eps=1e-10,
-    cache_accum=None,
+    cache_accum=None, ragged=False,
 ):
+    """``ragged=True`` scans (dense, padded values, per-bag lengths, labels,
+    lrs): offsets rebuild on device from lengths and pad-tail values fall past
+    the last offset, where segment_ids() maps them out of range and
+    segment_sum drops them — the fused-window path for variable-pooling
+    (fbgemm-trace) workloads."""
     def body(carry, xs):
         if optimizer == "rowwise_adagrad":
             dp, cw, acc = carry
         else:
             dp, cw = carry
             acc = None
-        d, v, l, slr, dlr = xs
-        feats = RaggedFeatures(
-            values=v, offsets=None, num_features=num_features,
-            batch_size=batch_size, pooling=pooling,
-        )
+        if ragged:
+            d, v, ln, l, slr, dlr = xs
+            offsets = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(ln).astype(jnp.int32)]
+            )
+            feats = RaggedFeatures(
+                values=v, offsets=offsets, num_features=num_features,
+                batch_size=batch_size, pooling=None,
+            )
+        else:
+            d, v, l, slr, dlr = xs
+            feats = RaggedFeatures(
+                values=v, offsets=None, num_features=num_features,
+                batch_size=batch_size, pooling=pooling,
+            )
         if sparse_grad:
             rows0 = jnp.take(cw, v, axis=0)
 
-            def loss_fn(dp_, rows):
-                F, B, P = num_features, batch_size, pooling
-                pooled = rows.reshape(F, B, P, -1).astype(jnp.float32)
-                pooled = pooled.sum(axis=2) if mode == "sum" else pooled.mean(axis=2)
-                sparse_bfd = jnp.transpose(pooled, (1, 0, 2))
-                return _model_loss(model, dp_, d, sparse_bfd, compute_dtype, l)
+            if ragged:
+                seg = feats.segment_ids()
+
+                def loss_fn(dp_, rows):
+                    F, B = num_features, batch_size
+                    pooled = jax.ops.segment_sum(
+                        rows.astype(jnp.float32), seg, num_segments=F * B,
+                        indices_are_sorted=True,
+                    )
+                    if mode == "mean":
+                        counts = jax.ops.segment_sum(
+                            jnp.ones((v.shape[0],), jnp.float32), seg,
+                            num_segments=F * B, indices_are_sorted=True,
+                        )
+                        pooled = pooled / jnp.maximum(counts, 1.0)[:, None]
+                    sparse_bfd = jnp.transpose(
+                        pooled.reshape(F, B, -1), (1, 0, 2)
+                    )
+                    return _model_loss(model, dp_, d, sparse_bfd, compute_dtype, l)
+            else:
+
+                def loss_fn(dp_, rows):
+                    F, B, P = num_features, batch_size, pooling
+                    pooled = rows.reshape(F, B, P, -1).astype(jnp.float32)
+                    pooled = pooled.sum(axis=2) if mode == "sum" else pooled.mean(axis=2)
+                    sparse_bfd = jnp.transpose(pooled, (1, 0, 2))
+                    return _model_loss(model, dp_, d, sparse_bfd, compute_dtype, l)
 
             loss, (g_dense, g_rows) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
                 dp, rows0
@@ -443,6 +479,128 @@ def _train_window_packed(
         use_pallas=use_pallas, sparse_grad=sparse_grad, model=model,
         optimizer=optimizer, adagrad_eps=adagrad_eps, cache_accum=cache_accum,
     )
+
+
+def _unpack_lengths(packed, a, P, n_bags, len16):
+    """Decode the per-bag lengths block of a ragged window; returns
+    ((P, n_bags) int32 lengths, end_offset)."""
+    if len16:
+        end = a + P * n_bags * 2
+        u = packed[a:end].astype(jnp.int32).reshape(P, n_bags, 2)
+        return u[..., 0] | (u[..., 1] << 8), end
+    end = a + P * n_bags
+    return packed[a:end].reshape(P, n_bags).astype(jnp.int32), end
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "layout", "num_features", "batch_size", "mode", "compute_dtype_name",
+        "sparse_grad", "model", "optimizer", "adagrad_eps", "adagrad_initial",
+    ),
+    donate_argnames=("dense_params", "cache_weight", "cache_accum"),
+)
+def _train_window_ragged(
+    dense_params: DLRMParams,
+    cache_weight: jnp.ndarray,
+    packed: jnp.ndarray,
+    sparse_lrs: jnp.ndarray,
+    dense_lrs: jnp.ndarray,
+    seed: jnp.ndarray,
+    cache_accum: jnp.ndarray = None,
+    *,
+    layout: tuple,  # (P, Vp, B, Din, dense_mode, id_width, sb, fb,
+    # fetch_bf16, len16) — Vp is the pow2-padded per-step value budget
+    num_features: int,
+    batch_size: int,
+    mode: str,
+    compute_dtype_name: str,
+    sparse_grad: bool,
+    model: str = "dlrm",
+    optimizer: str = "sgd",
+    adagrad_eps: float = 1e-10,
+    adagrad_initial: float = 0.0,
+):
+    """Fused RAGGED window: variable-pooling batches (the fbgemm-trace
+    workload, /root/reference/baselines/data/synth.py:69) padded to a pow2
+    per-step value budget and trained as ONE packed transfer + ONE scan
+    program, exactly like the uniform path. Lengths ship as u8/u16; offsets
+    rebuild on device; pad values fall past the last offset and are dropped
+    by the segment sums."""
+    P, Vp, B, Din, dmode, id_width, sb, fb, fetch_bf16, len16 = layout
+    F = num_features
+    a = (P * Vp * id_width) // 8
+    slot_values = _unpack_flat(packed[:a], P * Vp, id_width).reshape(P, Vp)
+    lens, b0 = _unpack_lengths(packed, a, P, F * B, len16)
+    dense_feats, b1 = _unpack_dense(packed, b0, P, B, Din, dmode)
+    c = b1 + P * B
+    labels = packed[b1:c].reshape(P, B).astype(jnp.float32)
+    cache_weight, cache_accum = _apply_packed_admits(
+        cache_weight, cache_accum, packed, c, layout[:9], seed, optimizer,
+        adagrad_initial,
+    )
+    return _scan_window(
+        dense_params, cache_weight,
+        (dense_feats, slot_values, lens, labels, sparse_lrs, dense_lrs),
+        num_features=F, batch_size=batch_size, pooling=None,
+        mode=mode, compute_dtype=jnp.dtype(compute_dtype_name),
+        use_pallas=False, sparse_grad=sparse_grad, model=model,
+        optimizer=optimizer, adagrad_eps=adagrad_eps, cache_accum=cache_accum,
+        ragged=True,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "layout", "num_features", "batch_size", "mode", "compute_dtype_name",
+        "model", "optimizer", "adagrad_initial",
+    ),
+    donate_argnames=("cache_weight", "cache_accum"),
+)
+def _eval_window_ragged(
+    dense_params: DLRMParams,
+    cache_weight: jnp.ndarray,
+    packed: jnp.ndarray,
+    seed: jnp.ndarray,
+    cache_accum: jnp.ndarray = None,
+    *,
+    layout: tuple,
+    num_features: int,
+    batch_size: int,
+    mode: str,
+    compute_dtype_name: str,
+    model: str = "dlrm",
+    optimizer: str = "sgd",
+    adagrad_initial: float = 0.0,
+):
+    """Forward-only fused ragged window; returns (cache, accum, (P, B) probs)."""
+    compute_dtype = jnp.dtype(compute_dtype_name)
+    P, Vp, B, Din, dmode, id_width, sb, fb, fetch_bf16, len16 = layout
+    F = num_features
+    a = (P * Vp * id_width) // 8
+    slot_values = _unpack_flat(packed[:a], P * Vp, id_width).reshape(P, Vp)
+    lens, b0 = _unpack_lengths(packed, a, P, F * B, len16)
+    dense_feats, c = _unpack_dense(packed, b0, P, B, Din, dmode)
+    c = c + P * B  # skip labels
+    cache_weight, cache_accum = _apply_packed_admits(
+        cache_weight, cache_accum, packed, c, layout[:9], seed, optimizer,
+        adagrad_initial,
+    )
+
+    def score(d, v, ln):
+        offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(ln).astype(jnp.int32)]
+        )
+        feats = RaggedFeatures(
+            values=v, offsets=offsets, num_features=F, batch_size=batch_size,
+            pooling=None,
+        )
+        sparse_bfd = embedding_bag(cache_weight, feats, mode=mode)
+        return _model_probs(model, dense_params, d, sparse_bfd, compute_dtype)
+
+    probs = jax.vmap(score)(dense_feats, slot_values, lens)
+    return cache_weight, cache_accum, probs
 
 
 @partial(
@@ -795,6 +953,17 @@ class CachedDLRMTrainer:
                 "mesh-windowed training requires uniform pooling (Criteo/Avazu "
                 "shapes); ragged batches run via the per-batch hybrid path"
             )
+        same_fb = all(
+            b.sparse_features.num_features == f0.num_features
+            and b.sparse_features.batch_size == f0.batch_size
+            for b in batches
+        )
+        if (
+            same_fb
+            and isinstance(self.embed, CachedEmbeddingBag)
+            and self.embed._dir is not None
+        ):
+            return self._begin_window_ragged(batches, vals)
         pw = self.embed.begin_prepare(all_ids)
         out: List[RaggedFeatures] = []
         off = 0
@@ -812,6 +981,90 @@ class CachedDLRMTrainer:
             )
             off += n
         return pw, out
+
+    def _begin_window_ragged(self, batches: List[Batch], vals: List[np.ndarray]):
+        """Fused RAGGED window staging (variable pooling — the fbgemm-trace
+        workload): pad each step's slot-id stream to a pow2 value budget
+        (bounded recompiles), ship [ids | per-bag lengths u8/u16 | dense |
+        labels | admits] as ONE transfer for _train_window_ragged."""
+        from cachedembedding_tpu._native import hostops
+        from cachedembedding_tpu.cache.manager import _bucket
+
+        f0 = batches[0].sparse_features
+        P = len(batches)
+        F, B = f0.num_features, f0.batch_size
+        all_ids = np.concatenate(vals).astype(np.int32)
+        ws = self.embed.begin_window_staging(all_ids, out_shape=(-1,))
+        counts = [int(v.shape[0]) for v in vals]
+        Vp = _bucket(max(counts), lo=2048)
+        slot_pad = np.zeros((P, Vp), np.int32)
+        off = 0
+        for i, n in enumerate(counts):
+            slot_pad[i, :n] = ws.slot_ids[off : off + n]
+            off += n
+        lens = np.stack(
+            [
+                np.diff(np.asarray(b.sparse_features.offsets))
+                if b.sparse_features.offsets is not None
+                else np.full((F * B,), b.sparse_features.pooling, np.int64)
+                for b in batches
+            ]
+        )
+        len16 = bool(lens.max() >= 256)
+        assert lens.max() < 65536, "per-bag pooling over u16 not supported"
+        lens_bytes = (
+            lens.astype("<u2").reshape(-1).view(np.uint8)
+            if len16
+            else lens.astype(np.uint8).reshape(-1)
+        )
+        id_width = hostops.id_pack_width(self._device_rows(), Vp)
+        ids_bytes = (
+            slot_pad.reshape(-1).view(np.uint8)
+            if id_width == 32
+            else hostops.pack_ids(slot_pad, id_width)
+        )
+        dmode = self.cfg.dense_input_dtype
+        parts = [ids_bytes, lens_bytes]
+        if dmode == "int8":
+            raw = np.stack([np.asarray(b.dense_features, np.float32) for b in batches])
+            lo_, hi_ = float(raw.min()), float(raw.max())
+            scale = (hi_ - lo_) / 255.0 or 1.0
+            parts.append(np.array([scale, lo_], np.float32).view(np.uint8))
+            parts.append(np.round((raw - lo_) / scale).astype(np.uint8).reshape(-1))
+        else:
+            ddt = ml_dtypes.bfloat16 if dmode == "bfloat16" else np.float32
+            parts.append(
+                np.stack([np.asarray(b.dense_features, ddt) for b in batches])
+                .reshape(-1)
+                .view(np.uint8)
+            )
+        parts.append(
+            np.stack([np.asarray(b.labels).astype(np.uint8) for b in batches]).reshape(-1)
+        )
+        sb = int(ws.synth_slots.shape[0])
+        fb = int(ws.fetch_slots.shape[0])
+        fetch_bf16 = ws.fetch_payload.dtype == ml_dtypes.bfloat16
+        if sb:
+            parts += [
+                ws.synth_slots.view(np.uint8),
+                ws.synth_rows.view(np.uint8),
+                ws.synth_bounds.view(np.uint8),
+            ]
+        if fb:
+            parts += [
+                ws.fetch_slots.view(np.uint8),
+                np.ascontiguousarray(ws.fetch_payload).reshape(-1).view(np.uint8),
+            ]
+            if getattr(self.embed, "cache_accum", None) is not None:
+                acc = np.zeros((fb,), np.float32)
+                acc[: ws.fetch_accum.shape[0]] = ws.fetch_accum
+                parts.append(acc.view(np.uint8))
+        buf_dev = jax.device_put(np.concatenate(parts))
+        layout = (
+            P, Vp, B, self.cfg.dense_in_features, dmode, id_width, sb, fb,
+            fetch_bf16, len16,
+        )
+        return ws, ("ragged", buf_dev, layout)
 
     def _finish_window(self, pw) -> None:
         """Complete a begun window: staged windows (in-program admits) only
@@ -886,6 +1139,35 @@ class CachedDLRMTrainer:
             )
             if accum is not None:
                 self.embed.set_accum(new_accum)
+            self.embed.set_param(new_cache)
+            return losses
+        if isinstance(window_input, tuple) and window_input[0] == "ragged":
+            _, buf_dev, layout = window_input
+            Vp = layout[1]
+            sparse_grad = accum is None and (
+                cfg.use_sparse_embed_grad or self._device_rows() > 4 * Vp
+            )
+            out = _train_window_ragged(
+                self.dense_params, self.embed.cache_weight, buf_dev,
+                sparse_lrs, dense_lrs,
+                getattr(self.embed, "_seed_u32", jnp.uint32(0)),
+                accum,
+                layout=layout,
+                num_features=f0.num_features,
+                batch_size=f0.batch_size,
+                mode=cfg.reduction_mode,
+                compute_dtype_name=cfg.compute_dtype,
+                sparse_grad=sparse_grad,
+                model=cfg.model,
+                optimizer="rowwise_adagrad" if accum is not None else "sgd",
+                adagrad_eps=cfg.adagrad_eps,
+                adagrad_initial=getattr(self.embed, "adagrad_initial", 0.0),
+            )
+            if accum is not None:
+                self.dense_params, new_cache, new_accum, losses = out
+                self.embed.set_accum(new_accum)
+            else:
+                self.dense_params, new_cache, losses = out
             self.embed.set_param(new_cache)
             return losses
         if isinstance(window_input, tuple) and window_input[0] == "packed":
@@ -1114,6 +1396,33 @@ class CachedDLRMTrainer:
                 drain()
                 return metrics.compute()
             pw, sv = self._begin_window(window)
+            if isinstance(sv, tuple) and sv[0] == "ragged":
+                self._finish_window(pw)
+                _, buf_dev, layout = sv
+                accum = getattr(self.embed, "cache_accum", None)
+                f0 = window[0].sparse_features
+                new_cache, new_accum, probs = _eval_window_ragged(
+                    self.dense_params, self.embed.cache_weight, buf_dev,
+                    getattr(self.embed, "_seed_u32", jnp.uint32(0)), accum,
+                    layout=layout,
+                    num_features=f0.num_features,
+                    batch_size=f0.batch_size,
+                    mode=cfg.reduction_mode,
+                    compute_dtype_name=cfg.compute_dtype,
+                    model=cfg.model,
+                    optimizer="rowwise_adagrad" if accum is not None else "sgd",
+                    adagrad_initial=getattr(self.embed, "adagrad_initial", 0.0),
+                )
+                self.embed.set_param(new_cache)
+                if accum is not None:
+                    self.embed.set_accum(new_accum)
+                pending.append(probs.reshape(-1))
+                pending_labels.append(
+                    np.concatenate([np.asarray(b.labels) for b in window])
+                )
+                if len(pending) * pn >= readback_every:
+                    drain()
+                continue
             if not (isinstance(sv, tuple) and sv[0] in ("packed", "mesh")):
                 # ragged window: fall through to the per-batch path below
                 # (sv already carries per-batch slot features)
