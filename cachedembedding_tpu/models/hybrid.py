@@ -33,7 +33,9 @@ from cachedembedding_tpu.parallel.mesh import AXIS, make_mesh
 from cachedembedding_tpu.parallel.tablewise import (
     ParallelCachedEmbeddingBagTablewise,
     prepare_tablewise_config,
+    tablewise_eval_step,
     tablewise_train_step,
+    tablewise_window_step,
 )
 
 
@@ -154,6 +156,52 @@ class HybridParallelDLRM:
         return (
             jax.device_put(jnp.asarray(dense), sh),
             jax.device_put(jnp.asarray(labels, jnp.float32), sh),
+        )
+
+    def _window_step_fn(self, kind: str, global_batch: int):
+        key = (kind, global_batch)
+        if key not in self._steps:
+            build = tablewise_window_step if kind == "train_window" else tablewise_eval_step
+            self._steps[key] = build(
+                self.mesh,
+                feature_perm=self.embed.feature_select_perm(),
+                f_max=self.embed.F_max,
+                global_batch=global_batch,
+                mode=self.cfg.reduction_mode,
+                compute_dtype=jnp.dtype(self.cfg.compute_dtype),
+            )
+        return self._steps[key]
+
+    def train_window(self, dense_P, slot_ids, labels_P, sparse_lrs, dense_lrs):
+        """Tablewise WINDOWED training: P stacked batches, one shard_map scan
+        execute per window per mesh (slot_ids from begin_prepare_window)."""
+        assert self.use_tablewise
+        B = dense_P.shape[1]
+        step = self._window_step_fn("train_window", B)
+        sh = NamedSharding(self.mesh, P(None, AXIS))
+        self.dense_params, new_cache, losses = step(
+            self.dense_params,
+            self.embed.cache_weight,
+            slot_ids,
+            jax.device_put(jnp.asarray(dense_P), sh),
+            jax.device_put(jnp.asarray(labels_P, jnp.float32), sh),
+            jnp.asarray(sparse_lrs, jnp.float32),
+            jnp.asarray(dense_lrs, jnp.float32),
+        )
+        self.embed.cache_weight = new_cache
+        return losses
+
+    def eval_window(self, dense_P, slot_ids):
+        """Tablewise windowed scoring -> (P, B_global) probabilities."""
+        assert self.use_tablewise
+        B = dense_P.shape[1]
+        step = self._window_step_fn("eval_window", B)
+        sh = NamedSharding(self.mesh, P(None, AXIS))
+        return step(
+            self.dense_params,
+            self.embed.cache_weight,
+            slot_ids,
+            jax.device_put(jnp.asarray(dense_P), sh),
         )
 
     def train_step(self, dense, sparse_slot_values, labels, sparse_lr, dense_lr):

@@ -280,6 +280,28 @@ class ParallelCachedEmbeddingBagTablewise:
         )
         return slot_ids, plans
 
+    def begin_prepare_window(self, ids_bf_list):
+        """Plan a WHOLE prefetch window (list of (B, F) per-feature id
+        matrices): one directory plan per rank covering all P batches, one
+        sharded device transfer of the stacked slot ids. Returns
+        (slot_ids (P, w, B*F_max) P(None, AXIS)-sharded, plans)."""
+        P_ = len(ids_bf_list)
+        routed = np.stack(
+            [self.route_ids(np.asarray(b)) for b in ids_bf_list]
+        )  # (P, w, B*F_max)
+        plans = []
+        out = np.empty_like(routed, dtype=np.int32)
+        for r in range(self.world):
+            p = self.dirs[r].plan(
+                np.ascontiguousarray(routed[:, r, :].reshape(-1), np.int32)
+            )
+            out[:, r, :] = p.slot_ids.reshape(P_, -1)
+            plans.append(p)
+        slot_ids = jax.device_put(
+            out, NamedSharding(self.mesh, P(None, AXIS))
+        )
+        return slot_ids, plans
+
     def finish_prepare(self, plans) -> None:
         self._drain_writebacks()
         self.stats.prepare_calls += 1
@@ -445,3 +467,118 @@ def tablewise_train_step(
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0, 1))
+
+
+def tablewise_window_step(
+    mesh: Mesh,
+    *,
+    feature_perm: np.ndarray,
+    f_max: int,
+    global_batch: int,
+    mode: str = "sum",
+    compute_dtype=jnp.float32,
+):
+    """WINDOWED tablewise-parallel training: an entire prefetch window of P
+    steps as ONE shard_map'd lax.scan program (the mesh analog of the
+    single-chip fused window — one execute per window per mesh instead of one
+    per batch). Same math per step as tablewise_train_step.
+
+    step(dense_params, cache (w, C_max, D) P(AXIS), slot_ids (P, w, F_max*B)
+    P(None, AXIS), dense (P, B, Din) P(None, AXIS), labels (P, B)
+    P(None, AXIS), sparse_lrs (P,), dense_lrs (P,))
+    -> (dense_params, cache, (P,) losses)."""
+    from cachedembedding_tpu.models.dlrm import bce_with_logits, dlrm_dense_forward
+    from cachedembedding_tpu.ops.embedding_bag import bag_pool_uniform
+
+    perm = jnp.asarray(feature_perm, jnp.int32)
+
+    def inner(dense_params, cache_r, slot_ids_r, dense_local, labels_local,
+              sparse_lrs, dense_lrs):
+        w = jax.lax.axis_size(AXIS)
+        B_local = global_batch // w
+        cache0 = cache_r[0]  # (C_max, D)
+
+        def body(carry, xs):
+            dp, cw = carry
+            ids_step, d_local, l_local, slr, dlr = xs
+            ids0 = ids_step[0]  # (F_max * B_global,)
+
+            def loss_fn(dp_, cw_):
+                ids_fbp = ids0.reshape(f_max, global_batch, 1)
+                pooled = bag_pool_uniform(cw_, ids_fbp, mode=mode)
+                pooled = jnp.transpose(pooled, (1, 0, 2))  # (F_max, B, D)
+                exchanged = jax.lax.all_to_all(
+                    pooled, AXIS, split_axis=1, concat_axis=0, tiled=True
+                )
+                emb = jnp.transpose(exchanged[perm], (1, 0, 2))
+                logits = dlrm_dense_forward(dp_, d_local, emb, compute_dtype)
+                return bce_with_logits(logits, l_local) * (B_local / global_batch)
+
+            loss, (g_dense, g_cache) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+                dp, cw
+            )
+            g_dense = jax.lax.psum(g_dense, AXIS)
+            loss = jax.lax.psum(loss, AXIS)
+            dp = jax.tree_util.tree_map(lambda p_, g_: p_ - dlr * g_, dp, g_dense)
+            return (dp, cw - slr * g_cache), loss
+
+        (dense_params, cache0), losses = jax.lax.scan(
+            body, (dense_params, cache0),
+            (slot_ids_r, dense_local, labels_local, sparse_lrs, dense_lrs),
+        )
+        return dense_params, cache0[None], losses
+
+    mapped = jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(
+            P(), P(AXIS), P(None, AXIS), P(None, AXIS), P(None, AXIS), P(), P(),
+        ),
+        out_specs=(P(), P(AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0, 1))
+
+
+def tablewise_eval_step(
+    mesh: Mesh,
+    *,
+    feature_perm: np.ndarray,
+    f_max: int,
+    global_batch: int,
+    mode: str = "sum",
+    compute_dtype=jnp.float32,
+):
+    """Forward-only windowed tablewise scoring: (P, B_global) Sigmoid probs."""
+    from cachedembedding_tpu.models.dlrm import dlrm_dense_forward
+    from cachedembedding_tpu.ops.embedding_bag import bag_pool_uniform
+
+    perm = jnp.asarray(feature_perm, jnp.int32)
+
+    def inner(dense_params, cache_r, slot_ids_r, dense_local):
+        w = jax.lax.axis_size(AXIS)
+        B_local = global_batch // w
+        cache0 = cache_r[0]
+
+        def score(ids_step, d_local):
+            ids0 = ids_step[0]
+            ids_fbp = ids0.reshape(f_max, global_batch, 1)
+            pooled = bag_pool_uniform(cache0, ids_fbp, mode=mode)
+            pooled = jnp.transpose(pooled, (1, 0, 2))
+            exchanged = jax.lax.all_to_all(
+                pooled, AXIS, split_axis=1, concat_axis=0, tiled=True
+            )
+            emb = jnp.transpose(exchanged[perm], (1, 0, 2))
+            logits = dlrm_dense_forward(dense_params, d_local, emb, compute_dtype)
+            return jax.nn.sigmoid(logits)  # (B_local,)
+
+        return jax.vmap(score)(slot_ids_r, dense_local)  # (P, B_local)
+
+    mapped = jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(None, AXIS), P(None, AXIS)),
+        out_specs=P(None, AXIS),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

@@ -195,14 +195,17 @@ def get_freq(args, cfg) -> Optional[np.ndarray]:
 
 
 def run_hybrid(args, cfg, freq) -> None:
-    """Multi-device training: hybrid model-parallel sparse x data-parallel
-    dense over a mesh (the reference's multi-GPU topology,
-    /root/reference/recsys/models/dlrm.py:144-147). Column-wise by default,
-    table-wise with --use_tablewise."""
+    """Tablewise multi-device training with the FULL windowed train/val/test
+    (the reference's multi-GPU flagship scope,
+    /root/reference/recsys/dlrm_main.py:206-374): prefetch windows planned once
+    per window (one directory plan per rank), trained as ONE shard_map scan
+    execute per window, eval AUROC/accuracy per epoch. Column-wise multi-device
+    runs through the mesh-windowed CachedDLRMTrainer instead (main())."""
     import jax
 
     from cachedembedding_tpu.models.hybrid import HybridParallelDLRM
     from cachedembedding_tpu.parallel.mesh import make_mesh
+    from cachedembedding_tpu.utils.metrics import StreamingMetrics
 
     n = args.world_size or len(jax.devices())
     mesh = make_mesh(n)
@@ -211,36 +214,86 @@ def run_hybrid(args, cfg, freq) -> None:
     offsets = np.concatenate(
         [[0], np.cumsum(cfg.num_embeddings_per_feature)]
     ).astype(np.int64)
-    lr = cfg.learning_rate
-    loss = None
-    n_it = 0
-    t0 = time.perf_counter()
-    for i, b in enumerate(get_data(args, cfg, "train")):
-        if args.limit_train_batches and i >= args.limit_train_batches:
-            break
+    pn = max(1, cfg.cache.prefetch_num)
+
+    def ids_bf(b):
         f = b.sparse_features
         vals = np.asarray(f.values)
-        if cfg.use_tablewise:
-            # tablewise routing wants per-feature-local (B, F) ids
-            ids_bf = vals.reshape(f.num_features, f.batch_size).T - offsets[:-1][None, :]
-            slot_vals, plans = model.embed.begin_prepare(ids_bf)
+        return vals.reshape(f.num_features, f.batch_size).T - offsets[:-1][None, :]
+
+    def fetch(it, k):
+        out = []
+        for _ in range(k):
+            try:
+                out.append(next(it))
+            except StopIteration:
+                break
+        return out
+
+    def run_windows(data, limit, train: bool, progress_base=0, progress_total=None):
+        """Windowed pass; returns (list of per-step losses | metrics, n_iters)."""
+        it = iter(data)
+        metrics = StreamingMetrics()
+        losses = []
+        done = 0
+        while True:
+            want = pn if limit is None else min(pn, limit - done)
+            if want <= 0:
+                break
+            window = fetch(it, want)
+            if not window:
+                break
+            slot_ids, plans = model.embed.begin_prepare_window(
+                [ids_bf(b) for b in window]
+            )
             model.embed.finish_prepare(plans)
-        else:
-            slot_vals = model.embed.prepare_ids(vals)
-        loss = model.train_step(
-            np.asarray(b.dense_features), slot_vals, np.asarray(b.labels),
-            lr, lr * mesh.devices.size,
+            dense_P = np.stack([np.asarray(b.dense_features) for b in window])
+            if train:
+                lr = cfg.learning_rate
+                if progress_total and cfg.change_lr:
+                    prog = (progress_base + done) / max(progress_total, 1)
+                    if prog >= cfg.lr_change_point:
+                        lr = cfg.lr_after
+                lrs = np.full((len(window),), lr, np.float32)
+                labels_P = np.stack([np.asarray(b.labels) for b in window])
+                loss = model.train_window(dense_P, slot_ids, labels_P, lrs, lrs)
+                losses.append(loss)
+            else:
+                probs = model.eval_window(dense_P, slot_ids)
+                metrics.update(
+                    np.asarray(probs).reshape(-1),
+                    np.concatenate([np.asarray(b.labels) for b in window]),
+                )
+            done += len(window)
+        if train:
+            if losses:
+                flat = np.asarray(jnp.concatenate(losses))  # single sync readback
+                return [float(x) for x in flat], done
+            return [], done
+        return metrics.compute(), done
+
+    import jax.numpy as jnp
+
+    limit = args.limit_train_batches
+    for epoch in range(cfg.epochs):
+        t0 = time.perf_counter()
+        train_losses, n_it = run_windows(
+            get_data(args, cfg, "train"), limit, train=True,
+            progress_total=limit,
         )
-        n_it += 1
-    if loss is not None:
-        final_loss = float(np.asarray(loss))  # true sync before reading the clock
         dt = time.perf_counter() - t0
         print(
-            f"hybrid[{n}dev,{'tablewise' if cfg.use_tablewise else 'columnwise'}]: "
-            f"{n_it} iters, {n_it / dt:.2f} it/s, "
-            f"final loss={final_loss:.5f}"
+            f"hybrid[{n}dev,tablewise] epoch {epoch}: {n_it} iters in {dt:.0f}s "
+            f"({n_it / dt:.2f} it/s, {n_it * cfg.batch_size / dt:.0f} ex/s), "
+            f"final loss={train_losses[-1]:.5f}" if train_losses else "no data"
         )
-    model.embed.print_comm_stats()
+        model.embed.print_comm_stats()
+        for stage, lim in [("val", args.limit_val_batches), ("test", args.limit_test_batches)]:
+            m, cnt = run_windows(get_data(args, cfg, stage), lim, train=False)
+            print(
+                f"hybrid[{n}dev,tablewise] epoch {epoch} {stage}: "
+                f"auroc={m['auroc']:.9f} accuracy={m['accuracy']:.9f} over {m['count']}"
+            )
 
 
 def main(argv=None) -> None:

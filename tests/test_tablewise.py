@@ -154,3 +154,85 @@ class TestTablewiseStep:
                 got = cw[r][sl[r, j * B : (j + 1) * B]]
                 expect = W_global[np.cumsum([0] + table_sizes)[t] + ids_bf[:, t]]
                 np.testing.assert_allclose(got, expect, err_msg=f"step {step_i} t {t}")
+
+
+@needs_native
+def test_tablewise_window_matches_per_batch(cpu_devices):
+    """The windowed tablewise scan (one shard_map execute per prefetch window)
+    must train identically to P sequential per-batch tablewise steps, and the
+    windowed eval must score with the trained weights."""
+    from cachedembedding_tpu.parallel.tablewise import (
+        tablewise_eval_step,
+        tablewise_window_step,
+    )
+
+    w, B, D, Din, Pn = 4, 8, 32, 5, 3
+    mesh = make_mesh(w)
+    table_sizes = [40, 30, 20, 25, 15]
+    ranks = [0, 1, 2, 3, 0]
+    rng = np.random.default_rng(1)
+    N = sum(table_sizes)
+    W_global = (rng.normal(size=(N, D)) * 0.1).astype(np.float32)
+    params = init_dlrm_dense(
+        jax.random.PRNGKey(0), D, len(table_sizes), Din, (8, D), (8, 4, 1)
+    )
+    lr = 0.05
+    batches = []
+    for _ in range(Pn):
+        ids_bf = np.stack([rng.integers(0, n, B) for n in table_sizes], axis=1)
+        dense = rng.random((B, Din)).astype(np.float32)
+        labels = rng.integers(0, 2, B).astype(np.float32)
+        batches.append((ids_bf, dense, labels))
+
+    # --- per-batch path ---
+    tw1 = _make_tablewise(mesh, table_sizes, ranks, D, W_global)
+    step1 = tablewise_train_step(
+        mesh, feature_perm=tw1.feature_select_perm(), f_max=tw1.F_max,
+        global_batch=B,
+    )
+    p1 = jax.tree_util.tree_map(jnp.copy, params)
+    losses1 = []
+    for ids_bf, dense, labels in batches:
+        slot_ids, plans = tw1.begin_prepare(ids_bf)
+        tw1.finish_prepare(plans)
+        dn = jax.device_put(jnp.asarray(dense), NamedSharding(mesh, P(AXIS)))
+        lb = jax.device_put(jnp.asarray(labels), NamedSharding(mesh, P(AXIS)))
+        p1, tw1.cache_weight, loss = step1(
+            p1, tw1.cache_weight, dn, slot_ids, lb,
+            jnp.asarray(lr, jnp.float32), jnp.asarray(lr, jnp.float32),
+        )
+        losses1.append(float(loss))
+
+    # --- windowed path ---
+    tw2 = _make_tablewise(mesh, table_sizes, ranks, D, W_global)
+    slot_ids_w, plans = tw2.begin_prepare_window([b[0] for b in batches])
+    tw2.finish_prepare(plans)
+    stepw = tablewise_window_step(
+        mesh, feature_perm=tw2.feature_select_perm(), f_max=tw2.F_max,
+        global_batch=B,
+    )
+    dense_P = jax.device_put(
+        jnp.asarray(np.stack([b[1] for b in batches])),
+        NamedSharding(mesh, P(None, AXIS)),
+    )
+    labels_P = jax.device_put(
+        jnp.asarray(np.stack([b[2] for b in batches])),
+        NamedSharding(mesh, P(None, AXIS)),
+    )
+    lrs = jnp.full((Pn,), lr, jnp.float32)
+    p2, tw2.cache_weight, losses2 = stepw(
+        jax.tree_util.tree_map(jnp.copy, params), tw2.cache_weight,
+        slot_ids_w, dense_P, labels_P, lrs, lrs,
+    )
+    np.testing.assert_allclose(np.asarray(losses2), losses1, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p2), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+    # windowed eval runs on the trained weights and returns (P, B) probs
+    evw = tablewise_eval_step(
+        mesh, feature_perm=tw2.feature_select_perm(), f_max=tw2.F_max,
+        global_batch=B,
+    )
+    probs = evw(p2, tw2.cache_weight, slot_ids_w, dense_P)
+    assert probs.shape == (Pn, B)
+    assert np.isfinite(np.asarray(probs)).all()
