@@ -38,10 +38,12 @@ from cachedembedding_tpu.cache.state import (
     EvictionStrategy,
     Plan,
     gather_slots,
+    gather_slots_q8,
     init_cache_state,
     plan_ids,
     remap_ids,
     scatter_admits,
+    scatter_admits_q8,
     slice_plan_indices,
 )
 from cachedembedding_tpu.cache.host_directory import HostPlan, make_directory
@@ -120,7 +122,8 @@ class WindowStaging(NamedTuple):
     synth_rows: np.ndarray    # (sb,) int32
     synth_bounds: np.ndarray  # (sb,) float32
     fetch_slots: np.ndarray   # (fb,) int32, -1 padded; fb == 0 when none
-    fetch_payload: np.ndarray  # (fb, D) in the transfer dtype
+    fetch_payload: np.ndarray  # (fb, D) in the transfer dtype (f32/bf16/int8)
+    fetch_scales: np.ndarray  # (fb,) f32 per-row scales (int8 transfers) or (0,)
     fetch_accum: np.ndarray   # (fb,) f32 optimizer state (rowwise adagrad) or (0,)
     admit_slots: np.ndarray   # (n_miss,) full plan arrays for the writebacks
     evict_rows: np.ndarray    # (n_miss,)
@@ -143,6 +146,15 @@ def _bucket(n: int, lo: int = 2048) -> int:
     while b < n:
         b <<= 1
     return b
+
+
+def _quant_rows_host(rows: np.ndarray):
+    """Per-row symmetric int8 quantization of host rows for the wire."""
+    rows = np.asarray(rows, np.float32)
+    absmax = np.abs(rows).max(axis=1)
+    scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(rows / scale[:, None]), -127, 127).astype(np.int8)
+    return q, scale
 
 
 def default_table_init(
@@ -400,8 +412,9 @@ class CachedEmbeddingBag:
         self.cache_op = True
         self._async = False
         self._pending_wb: list = []  # deferred eviction writebacks (not yet submitted)
-        if transfer_dtype not in ("float32", "bfloat16"):
+        if transfer_dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(transfer_dtype)
+        self.transfer_mode = transfer_dtype
         self._transfer_bf16 = transfer_dtype == "bfloat16"
         # Async writeback drain: the device->host readback of evicted rows runs
         # on a worker thread, overlapping the next window's compute. The host
@@ -788,13 +801,17 @@ class CachedEmbeddingBag:
         self.stats.num_miss_history.append(n_miss)
         empty_i = np.zeros((0,), np.int32)
         empty_f = np.zeros((0,), np.float32)
-        pay_dt = ml_dtypes.bfloat16 if self._transfer_bf16 else np.float32
+        pay_dt = {
+            "float32": np.float32, "bfloat16": ml_dtypes.bfloat16,
+            "int8": np.int8,
+        }[self.transfer_mode]
         if n_miss == 0:
             return WindowStaging(
                 slot_ids=slot_full.reshape(out_shape),
                 synth_slots=empty_i, synth_rows=empty_i, synth_bounds=empty_f,
                 fetch_slots=empty_i,
                 fetch_payload=np.zeros((0, self.embedding_dim), pay_dt),
+                fetch_scales=empty_f,
                 fetch_accum=empty_f,
                 admit_slots=hp.admit_slots, evict_rows=hp.evict_rows,
             )
@@ -839,18 +856,24 @@ class CachedEmbeddingBag:
                     if self.host_accum is not None
                     else empty_f
                 )
-            fetch_payload = vals.astype(pay_dt) if vals.dtype != pay_dt else vals
+            if self.transfer_mode == "int8":
+                fetch_payload, fetch_scales = _quant_rows_host(vals)
+            else:
+                fetch_payload = vals.astype(pay_dt) if vals.dtype != pay_dt else vals
+                fetch_scales = empty_f
             self.stats.swap_in_bytes += n_fetch * self.embedding_dim * 4
             self.stats.swap_in_time += time.perf_counter() - t0
         else:
             fetch_slots = empty_i
             fetch_payload = np.zeros((0, self.embedding_dim), pay_dt)
+            fetch_scales = empty_f
             fetch_accum = empty_f
         return WindowStaging(
             slot_ids=slot_full.reshape(out_shape),
             synth_slots=synth_slots, synth_rows=synth_rows,
             synth_bounds=synth_bounds, fetch_slots=fetch_slots,
-            fetch_payload=fetch_payload, fetch_accum=fetch_accum,
+            fetch_payload=fetch_payload, fetch_scales=fetch_scales,
+            fetch_accum=fetch_accum,
             admit_slots=hp.admit_slots, evict_rows=hp.evict_rows,
         )
 
@@ -876,10 +899,13 @@ class CachedEmbeddingBag:
                 slots_c = np.full((_bucket(e - s),), -1, np.int32)
                 slots_c[: e - s] = ws.admit_slots[s:e]
                 slots_dev = jnp.array(slots_c)
-                vals_dev = gather_slots(
-                    self.cache_weight, slots_dev,
-                    out_dtype="bfloat16" if self._transfer_bf16 else None,
-                )
+                if self.transfer_mode == "int8":
+                    vals_dev = gather_slots_q8(self.cache_weight, slots_dev)
+                else:
+                    vals_dev = gather_slots(
+                        self.cache_weight, slots_dev,
+                        out_dtype="bfloat16" if self._transfer_bf16 else None,
+                    )
                 accum_dev = (
                     gather_slots(self.cache_accum[:, None], slots_dev)
                     if self.cache_accum is not None
@@ -917,10 +943,14 @@ class CachedEmbeddingBag:
             if wb_mask.any():
                 slots_c = np.full((_bucket(e - s),), -1, np.int32)
                 slots_c[: e - s] = hp.admit_slots[s:e]
-                vals_dev = gather_slots(
-                    self.cache_weight, jnp.array(slots_c),
-                    out_dtype="bfloat16" if self._transfer_bf16 else None,
-                )
+                slots_dev_wb = jnp.array(slots_c)
+                if self.transfer_mode == "int8":
+                    vals_dev = gather_slots_q8(self.cache_weight, slots_dev_wb)
+                else:
+                    vals_dev = gather_slots(
+                        self.cache_weight, slots_dev_wb,
+                        out_dtype="bfloat16" if self._transfer_bf16 else None,
+                    )
                 self._pending_wb.append(
                     (ev_rows_c[wb_mask], wb_mask, e - s, vals_dev, None)
                 )
@@ -969,13 +999,19 @@ class CachedEmbeddingBag:
                 rows_c[: e - s] = w_rows[s:e]
                 with self._host_lock:
                     self.host_table.gather(rows_c, vals)
-                payload = (
-                    vals.astype(ml_dtypes.bfloat16) if self._transfer_bf16 else vals
-                )
                 slots_dev = jnp.array(slots_c)
-                self.cache_weight = scatter_admits(
-                    self.cache_weight, slots_dev, jnp.array(payload)
-                )
+                if self.transfer_mode == "int8":
+                    q, scales = _quant_rows_host(vals)
+                    self.cache_weight = scatter_admits_q8(
+                        self.cache_weight, slots_dev, jnp.array(q), jnp.array(scales)
+                    )
+                else:
+                    payload = (
+                        vals.astype(ml_dtypes.bfloat16) if self._transfer_bf16 else vals
+                    )
+                    self.cache_weight = scatter_admits(
+                        self.cache_weight, slots_dev, jnp.array(payload)
+                    )
                 if self.cache_accum is not None:
                     acc_c = np.zeros((b,), np.float32)
                     with self._host_lock:
@@ -999,9 +1035,14 @@ class CachedEmbeddingBag:
     def _do_drain(self, items) -> None:
         t0 = time.perf_counter()
         for ev_rows, wb_mask, n, vals_dev, accum_dev in items:
-            vals = np.asarray(vals_dev)  # blocks until the enqueued gather ran
-            if vals.dtype != np.float32:
-                vals = vals.astype(np.float32)
+            if isinstance(vals_dev, tuple):  # int8 (q, scales) readback
+                q = np.asarray(vals_dev[0])
+                scales = np.asarray(vals_dev[1]).astype(np.float32)
+                vals = q.astype(np.float32) * scales[:, None]
+            else:
+                vals = np.asarray(vals_dev)  # blocks until the enqueued gather ran
+                if vals.dtype != np.float32:
+                    vals = vals.astype(np.float32)
             with self._host_lock:
                 self.host_table.scatter(ev_rows, vals[:n][wb_mask])
                 if accum_dev is not None:

@@ -260,6 +260,37 @@ def gather_slots(
     return rows.astype(out_dtype) if out_dtype else rows
 
 
+@jax.jit
+def gather_slots_q8(cache_weight: jnp.ndarray, slots: jnp.ndarray):
+    """Eviction readback at 129 bytes/row instead of 258 (bf16) or 516 (f32):
+    per-row symmetric int8 quantization ON DEVICE. Returns (q (n, D) int8,
+    scales (n,) f32); host reconstructs q * scale. Round-to-nearest error is
+    <= absmax/254 per element — the same order as one bf16 rounding for
+    typical embedding rows, gated by the AUROC-retention test."""
+    rows = cache_weight[jnp.clip(slots, 0, cache_weight.shape[0] - 1)].astype(
+        jnp.float32
+    )
+    absmax = jnp.max(jnp.abs(rows), axis=1)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(rows / scale[:, None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+@partial(jax.jit, donate_argnames=("cache_weight",))
+def scatter_admits_q8(
+    cache_weight: jnp.ndarray,
+    slots: jnp.ndarray,
+    q: jnp.ndarray,       # (n, D) int8
+    scales: jnp.ndarray,  # (n,) f32
+) -> jnp.ndarray:
+    """Land int8-quantized admitted rows (dequantized on device)."""
+    C = cache_weight.shape[0]
+    vals = q.astype(jnp.float32) * scales[:, None]
+    return cache_weight.at[jnp.where(slots >= 0, slots, C)].set(
+        vals.astype(cache_weight.dtype), mode="drop"
+    )
+
+
 @partial(jax.jit, donate_argnames=("cache_weight",))
 def scatter_admits(
     cache_weight: jnp.ndarray, slots: jnp.ndarray, values: jnp.ndarray

@@ -57,7 +57,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--use_lfu", action="store_true")
     p.add_argument("--use_overlap", action="store_true")
     p.add_argument("--prefetch_num", type=int, default=1)
-    p.add_argument("--transfer_dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--transfer_dtype", choices=["float32", "bfloat16", "int8"],
+                   default="float32",
+                   help="host<->HBM row payload dtype; int8 = per-row symmetric "
+                        "quantization, 129B/row on the wire vs 258 (bf16) / 516 (f32)")
     p.add_argument("--planner", choices=["auto", "host", "device"], default="auto",
                    help="cache planner: native host directory vs jitted device state machine")
     # parallelism

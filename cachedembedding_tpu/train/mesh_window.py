@@ -50,7 +50,7 @@ def _apply_admits_sharded(
 ):
     """Decode the admit blocks (replicated buffer) and land each rank's COLUMN
     SLICE into its cache shard. Mirrors trainer._apply_packed_admits."""
-    P_, L, B, Din, dmode, id_width, sb, fb, fetch_bf16 = layout
+    P_, L, B, Din, dmode, id_width, sb, fb, fmode = layout
     dpr = cache_shard.shape[1]
     C_pad = cache_shard.shape[0]
     col0 = (jax.lax.axis_index(AXIS) * dpr).astype(jnp.int32)
@@ -69,13 +69,23 @@ def _apply_admits_sharded(
             cache_accum = cache_accum.at[safe].set(adagrad_initial, mode="drop")
     if fb:
         f0, f1 = c, c + 4 * fb
-        fsize = 2 if fetch_bf16 else 4
+        fsize = {"float32": 4, "bfloat16": 2, "int8": 1}[fmode]
         c2 = f1 + fb * d_full * fsize
         f_slots = jax.lax.bitcast_convert_type(packed[f0:f1].reshape(fb, 4), jnp.int32)
-        fetch_dt = jnp.bfloat16 if fetch_bf16 else jnp.float32
-        payload = jax.lax.bitcast_convert_type(
-            packed[f1:c2].reshape(fb, d_full, fsize), fetch_dt
-        )
+        if fmode == "int8":
+            q = jax.lax.bitcast_convert_type(
+                packed[f1:c2].reshape(fb, d_full, 1), jnp.int8
+            ).reshape(fb, d_full)
+            scales = jax.lax.bitcast_convert_type(
+                packed[c2 : c2 + 4 * fb].reshape(fb, 4), jnp.float32
+            )
+            c2 = c2 + 4 * fb
+            payload = q.astype(jnp.float32) * scales[:, None]
+        else:
+            fetch_dt = jnp.bfloat16 if fmode == "bfloat16" else jnp.float32
+            payload = jax.lax.bitcast_convert_type(
+                packed[f1:c2].reshape(fb, d_full, fsize), fetch_dt
+            )
         payload = jax.lax.dynamic_slice_in_dim(payload, col0, dpr, axis=1)
         safe = jnp.where(f_slots >= 0, f_slots, C_pad)
         cache_shard = cache_shard.at[safe].set(
@@ -122,7 +132,7 @@ def build_mesh_window_train(
     -> (dense_params, cache_weight, cache_accum, (P,) losses)."""
     from cachedembedding_tpu.train.trainer import _model_loss
 
-    P_, L, B, Din, dmode, id_width, sb, fb, fetch_bf16 = layout
+    P_, L, B, Din, dmode, id_width, sb, fb, fmode = layout
     w = mesh.devices.size
     assert batch_size % w == 0 and d_full % w == 0
     b_local = batch_size // w
@@ -250,7 +260,7 @@ def build_mesh_window_eval(
     (P, B) probabilities)."""
     from cachedembedding_tpu.train.trainer import _model_probs
 
-    P_, L, B, Din, dmode, id_width, sb, fb, fetch_bf16 = layout
+    P_, L, B, Din, dmode, id_width, sb, fb, fmode = layout
     w = mesh.devices.size
     b_local = batch_size // w
     compute_dtype = jnp.dtype(compute_dtype_name)

@@ -45,6 +45,15 @@ from cachedembedding_tpu.ops.synth_rows import synth_rows
 from cachedembedding_tpu.utils.metrics import StreamingMetrics
 
 
+def _fetch_mode(payload: np.ndarray) -> str:
+    """Static wire format of the fetched-admit payload block."""
+    if payload.dtype == np.int8:
+        return "int8"
+    if payload.dtype == ml_dtypes.bfloat16:
+        return "bfloat16"
+    return "float32"
+
+
 def _model_loss(model, dp, dense, sparse_bfd, compute_dtype, labels):
     """Model-family dispatch (static): DLRM trains on logits, DeepFM on
     Sigmoid outputs (/root/reference/baselines/models/deepfm.py:171-195)."""
@@ -289,7 +298,7 @@ def _apply_packed_admits(cache_weight, cache_accum, packed, c, layout, seed,
     """Decode the synth/fetch admit blocks at offset ``c`` of the packed window
     buffer and land them in the cache (and optimizer state) — shared by the
     fused train and eval window programs."""
-    P, L, B, Din, dmode, id_width, sb, fb, fetch_bf16 = layout
+    P, L, B, Din, dmode, id_width, sb, fb, fmode = layout
     D = cache_weight.shape[1]
     C_pad = cache_weight.shape[0]
     if sb:
@@ -308,13 +317,23 @@ def _apply_packed_admits(cache_weight, cache_accum, packed, c, layout, seed,
             cache_accum = cache_accum.at[safe].set(adagrad_initial, mode="drop")
     if fb:
         f0, f1 = c, c + 4 * fb
-        fsize = 2 if fetch_bf16 else 4
+        fsize = {"float32": 4, "bfloat16": 2, "int8": 1}[fmode]
         c2 = f1 + fb * D * fsize
         f_slots = jax.lax.bitcast_convert_type(packed[f0:f1].reshape(fb, 4), jnp.int32)
-        fetch_dt = jnp.bfloat16 if fetch_bf16 else jnp.float32
-        payload = jax.lax.bitcast_convert_type(
-            packed[f1:c2].reshape(fb, D, fsize), fetch_dt
-        )
+        if fmode == "int8":
+            q = jax.lax.bitcast_convert_type(
+                packed[f1:c2].reshape(fb, D, 1), jnp.int8
+            ).reshape(fb, D)
+            scales = jax.lax.bitcast_convert_type(
+                packed[c2 : c2 + 4 * fb].reshape(fb, 4), jnp.float32
+            )
+            c2 = c2 + 4 * fb
+            payload = q.astype(jnp.float32) * scales[:, None]
+        else:
+            fetch_dt = jnp.bfloat16 if fmode == "bfloat16" else jnp.float32
+            payload = jax.lax.bitcast_convert_type(
+                packed[f1:c2].reshape(fb, D, fsize), fetch_dt
+            )
         safe = jnp.where(f_slots >= 0, f_slots, C_pad)
         cache_weight = cache_weight.at[safe].set(
             payload.astype(cache_weight.dtype), mode="drop"
@@ -440,7 +459,7 @@ def _train_window_packed(
     cache_accum: jnp.ndarray = None,  # (C,) f32 rowwise-adagrad state
     *,
     layout: tuple,  # (P, L, B, Din, dense_mode, id_width_bits, synth_bucket,
-    # fetch_bucket, fetch_bf16) — sb/fb are 0 when the window has no such admits
+    # fetch_bucket, fmode) — sb/fb are 0 when the window has no such admits
     num_features: int,
     batch_size: int,
     pooling: int,
@@ -462,7 +481,7 @@ def _train_window_packed(
     Unpacking is a handful of bitcasts/shifts on device — free next to the
     matmuls. Admit scatters are sequenced before the train steps by the data
     dependency on cache_weight."""
-    P, L, B, Din, dmode, id_width, sb, fb, fetch_bf16 = layout
+    P, L, B, Din, dmode, id_width, sb, fb, fmode = layout
     slot_values, a = _decode_window_ids(packed, layout)
     dense_feats, b = _unpack_dense(packed, a, P, B, Din, dmode)
     c = b + P * B
@@ -510,7 +529,7 @@ def _train_window_ragged(
     cache_accum: jnp.ndarray = None,
     *,
     layout: tuple,  # (P, Vp, B, Din, dense_mode, id_width, sb, fb,
-    # fetch_bf16, len16) — Vp is the pow2-padded per-step value budget
+    # fmode, len16) — Vp is the pow2-padded per-step value budget
     num_features: int,
     batch_size: int,
     mode: str,
@@ -527,7 +546,7 @@ def _train_window_ragged(
     program, exactly like the uniform path. Lengths ship as u8/u16; offsets
     rebuild on device; pad values fall past the last offset and are dropped
     by the segment sums."""
-    P, Vp, B, Din, dmode, id_width, sb, fb, fetch_bf16, len16 = layout
+    P, Vp, B, Din, dmode, id_width, sb, fb, fmode, len16 = layout
     F = num_features
     a = (P * Vp * id_width) // 8
     slot_values = _unpack_flat(packed[:a], P * Vp, id_width).reshape(P, Vp)
@@ -576,7 +595,7 @@ def _eval_window_ragged(
 ):
     """Forward-only fused ragged window; returns (cache, accum, (P, B) probs)."""
     compute_dtype = jnp.dtype(compute_dtype_name)
-    P, Vp, B, Din, dmode, id_width, sb, fb, fetch_bf16, len16 = layout
+    P, Vp, B, Din, dmode, id_width, sb, fb, fmode, len16 = layout
     F = num_features
     a = (P * Vp * id_width) // 8
     slot_values = _unpack_flat(packed[:a], P * Vp, id_width).reshape(P, Vp)
@@ -634,7 +653,7 @@ def _eval_window_packed(
     admits as training, scoring P batches in one execute. Returns
     (cache_weight, cache_accum, (P, B) probabilities)."""
     compute_dtype = jnp.dtype(compute_dtype_name)
-    P, L, B, Din, dmode, id_width, sb, fb, fetch_bf16 = layout
+    P, L, B, Din, dmode, id_width, sb, fb, fmode = layout
     slot_values, a = _decode_window_ids(packed, layout)
     dense_feats, c = _unpack_dense(packed, a, P, B, Din, dmode)
     c = c + P * B  # skip labels (unused in eval)
@@ -904,11 +923,11 @@ class CachedDLRMTrainer:
                     labels.reshape(-1),
                 ]
             sb = fb = 0
-            fetch_bf16 = False
+            fmode = "float32"
             if extras is not None:
                 sb = int(extras.synth_slots.shape[0])
                 fb = int(extras.fetch_slots.shape[0])
-                fetch_bf16 = extras.fetch_payload.dtype == ml_dtypes.bfloat16
+                fmode = _fetch_mode(extras.fetch_payload)
                 if sb:
                     parts += [
                         extras.synth_slots.view(np.uint8),
@@ -920,11 +939,13 @@ class CachedDLRMTrainer:
                         extras.fetch_slots.view(np.uint8),
                         np.ascontiguousarray(extras.fetch_payload).reshape(-1).view(np.uint8),
                     ]
+                    if fmode == "int8":
+                        parts.append(extras.fetch_scales.view(np.uint8))
                     if getattr(self.embed, "cache_accum", None) is not None:
                         acc = np.zeros((fb,), np.float32)
                         acc[: extras.fetch_accum.shape[0]] = extras.fetch_accum
                         parts.append(acc.view(np.uint8))
-            layout = (P, L, B, Din, dmode, id_width, sb, fb, fetch_bf16)
+            layout = (P, L, B, Din, dmode, id_width, sb, fb, fmode)
             pw_out = extras if extras is not None else pw
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as PS
@@ -1043,7 +1064,7 @@ class CachedDLRMTrainer:
         )
         sb = int(ws.synth_slots.shape[0])
         fb = int(ws.fetch_slots.shape[0])
-        fetch_bf16 = ws.fetch_payload.dtype == ml_dtypes.bfloat16
+        fmode = _fetch_mode(ws.fetch_payload)
         if sb:
             parts += [
                 ws.synth_slots.view(np.uint8),
@@ -1055,6 +1076,8 @@ class CachedDLRMTrainer:
                 ws.fetch_slots.view(np.uint8),
                 np.ascontiguousarray(ws.fetch_payload).reshape(-1).view(np.uint8),
             ]
+            if fmode == "int8":
+                parts.append(ws.fetch_scales.view(np.uint8))
             if getattr(self.embed, "cache_accum", None) is not None:
                 acc = np.zeros((fb,), np.float32)
                 acc[: ws.fetch_accum.shape[0]] = ws.fetch_accum
@@ -1062,7 +1085,7 @@ class CachedDLRMTrainer:
         buf_dev = jax.device_put(np.concatenate(parts))
         layout = (
             P, Vp, B, self.cfg.dense_in_features, dmode, id_width, sb, fb,
-            fetch_bf16, len16,
+            fmode, len16,
         )
         return ws, ("ragged", buf_dev, layout)
 

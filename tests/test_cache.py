@@ -247,3 +247,66 @@ def test_per_sample_weights_sum():
         3.0 * bag.host_weight[3],
     ]).reshape(2, 1, 4)
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-6)
+
+
+def test_int8_transfer_quant_roundtrip():
+    """Device q8 gather <-> host dequant and host q8 <-> device dequant agree
+    within the symmetric-int8 error bound (absmax/254 per element)."""
+    import jax.numpy as jnp
+
+    from cachedembedding_tpu.cache.manager import _quant_rows_host
+    from cachedembedding_tpu.cache.state import gather_slots_q8, scatter_admits_q8
+
+    rng = np.random.default_rng(0)
+    rows = (rng.normal(size=(64, 16)) * 0.3).astype(np.float32)
+    # host-side quantize -> device dequant scatter
+    q, scales = _quant_rows_host(rows)
+    cw = scatter_admits_q8(
+        jnp.zeros((64, 16), jnp.float32),
+        jnp.arange(64, dtype=jnp.int32), jnp.asarray(q), jnp.asarray(scales),
+    )
+    bound = (np.abs(rows).max(axis=1) / 254.0 + 1e-8)[:, None]
+    assert (np.abs(np.asarray(cw) - rows) <= bound + 1e-6).all()
+    # device-side quantize gather -> host dequant
+    qd, sd = gather_slots_q8(jnp.asarray(rows), jnp.arange(64, dtype=jnp.int32))
+    back = np.asarray(qd).astype(np.float32) * np.asarray(sd)[:, None]
+    assert (np.abs(back - rows) <= bound + 1e-6).all()
+
+
+def test_int8_transfer_trains_with_evictions():
+    """transfer_dtype=int8 halves swap wire; training through eviction/
+    re-admission cycles must retain the AUROC lift of the f32 transfer path."""
+    from cachedembedding_tpu.config import CacheConfig, DLRMConfig
+    from cachedembedding_tpu.data.synthetic import SyntheticLongTailDataset
+    from cachedembedding_tpu.train.trainer import CachedDLRMTrainer
+
+    tables = [1000, 2000, 500, 300]
+    aurocs = {}
+    for mode in ("float32", "int8"):
+        cfg = DLRMConfig(
+            num_embeddings_per_feature=tables,
+            embedding_dim=16,
+            dense_in_features=4,
+            dense_arch_layer_sizes=(32, 16),
+            over_arch_layer_sizes=(32, 16, 1),
+            batch_size=256,
+            learning_rate=0.3,
+            cache=CacheConfig(
+                cache_ratio=0.25,  # small cache: constant eviction churn
+                warmup_ratio=0.7, buffer_size=0, prefetch_num=2,
+                transfer_dtype=mode,
+            ),
+        )
+        data = SyntheticLongTailDataset(
+            tables, cfg.batch_size, num_batches=30, dense_in_features=4, seed=3
+        )
+        eval_data = SyntheticLongTailDataset(
+            tables, cfg.batch_size, num_batches=5, dense_in_features=4, seed=99
+        )
+        trainer = CachedDLRMTrainer(cfg, id_freq_map=data.id_freq_map())
+        rep = trainer.train(data, num_iters=30)
+        assert np.isfinite(rep.losses).all()
+        aurocs[mode] = trainer.evaluate(eval_data)["auroc"]
+        # churn actually happened (re-admission fetches carried int8 payloads)
+        assert trainer.embed.stats.swap_in_bytes > 0
+    assert aurocs["int8"] > aurocs["float32"] - 0.01, aurocs
