@@ -57,6 +57,9 @@ def main() -> None:
     # 0.25, which yields an unrealistically cold ~67%.
     p.add_argument("--skew", type=float, default=0.5)
     p.add_argument("--pallas", action="store_true", default=None)
+    p.add_argument("--platform", choices=["default", "cpu"], default="default",
+                   help="force the jax platform (cpu = validation runs; env "
+                        "vars are too late because sitecustomize imports jax)")
     p.add_argument("--resident-threshold", type=int, default=500_000,
                    help="mixed-kernel execution: tables with <= this many rows "
                         "are HBM-resident (Criteo-Kaggle: 21 of 26 tables = "
@@ -66,6 +69,8 @@ def main() -> None:
 
     import jax
 
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     # Persistent compilation cache: first compiles cost 10-40s each over the
     # remote-compile tunnel; repeated bench invocations reuse them.
     try:

@@ -50,7 +50,7 @@ def _apply_admits_sharded(
 ):
     """Decode the admit blocks (replicated buffer) and land each rank's COLUMN
     SLICE into its cache shard. Mirrors trainer._apply_packed_admits."""
-    P_, L, B, Din, dmode, id_width, sb, fb, fmode = layout
+    P_, L, B, Din, dmode, id_width, sb, fb, fmode = layout[:9]
     dpr = cache_shard.shape[1]
     C_pad = cache_shard.shape[0]
     col0 = (jax.lax.axis_index(AXIS) * dpr).astype(jnp.int32)
@@ -132,7 +132,7 @@ def build_mesh_window_train(
     -> (dense_params, cache_weight, cache_accum, (P,) losses)."""
     from cachedembedding_tpu.train.trainer import _model_loss
 
-    P_, L, B, Din, dmode, id_width, sb, fb, fmode = layout
+    P_, L, B, Din, dmode, id_width, sb, fb, fmode = layout[:9]
     w = mesh.devices.size
     assert batch_size % w == 0 and d_full % w == 0
     b_local = batch_size // w
@@ -260,7 +260,7 @@ def build_mesh_window_eval(
     (P, B) probabilities)."""
     from cachedembedding_tpu.train.trainer import _model_probs
 
-    P_, L, B, Din, dmode, id_width, sb, fb, fmode = layout
+    P_, L, B, Din, dmode, id_width, sb, fb, fmode = layout[:9]
     w = mesh.devices.size
     b_local = batch_size // w
     compute_dtype = jnp.dtype(compute_dtype_name)

@@ -419,6 +419,18 @@ def _decode_window_ids(packed: jnp.ndarray, layout: tuple):
     return _unpack_ids(packed[:a], P, L, id_spec), a
 
 
+def _unpack_labels(packed, b, P, B, lbits):
+    """Decode the labels block: 1 BIT per label when the window was packed
+    with binary labels (lbits), else u8. Returns ((P, B) f32 labels, end)."""
+    if not lbits:
+        c = b + P * B
+        return packed[b:c].reshape(P, B).astype(jnp.float32), c
+    c = b + (P * B) // 8
+    bytes_ = packed[b:c].astype(jnp.int32)  # little-endian bit order
+    bits = (bytes_[:, None] >> jnp.arange(8, dtype=jnp.int32)[None, :]) & 1
+    return bits.reshape(P, B).astype(jnp.float32), c
+
+
 def _unpack_ids(b: jnp.ndarray, P: int, L: int, width: int) -> jnp.ndarray:
     """Decode the host-side bit-packing (hostops.pack_ids) back to (P, L) int32
     slot ids — a handful of VPU shift/or ops, free next to the step's matmuls.
@@ -481,13 +493,13 @@ def _train_window_packed(
     Unpacking is a handful of bitcasts/shifts on device — free next to the
     matmuls. Admit scatters are sequenced before the train steps by the data
     dependency on cache_weight."""
-    P, L, B, Din, dmode, id_width, sb, fb, fmode = layout
+    P, L, B, Din, dmode, id_width, sb, fb, fmode = layout[:9]
+    lbits = layout[9] if len(layout) > 9 else False
     slot_values, a = _decode_window_ids(packed, layout)
     dense_feats, b = _unpack_dense(packed, a, P, B, Din, dmode)
-    c = b + P * B
-    labels = packed[b:c].reshape(P, B).astype(jnp.float32)
+    labels, c = _unpack_labels(packed, b, P, B, lbits)
     cache_weight, cache_accum = _apply_packed_admits(
-        cache_weight, cache_accum, packed, c, layout, seed, optimizer,
+        cache_weight, cache_accum, packed, c, layout[:9], seed, optimizer,
         adagrad_initial,
     )
     return _scan_window(
@@ -653,12 +665,13 @@ def _eval_window_packed(
     admits as training, scoring P batches in one execute. Returns
     (cache_weight, cache_accum, (P, B) probabilities)."""
     compute_dtype = jnp.dtype(compute_dtype_name)
-    P, L, B, Din, dmode, id_width, sb, fb, fmode = layout
+    P, L, B, Din, dmode, id_width, sb, fb, fmode = layout[:9]
+    lbits = layout[9] if len(layout) > 9 else False
     slot_values, a = _decode_window_ids(packed, layout)
     dense_feats, c = _unpack_dense(packed, a, P, B, Din, dmode)
-    c = c + P * B  # skip labels (unused in eval)
+    c = c + ((P * B) // 8 if lbits else P * B)  # skip labels (unused in eval)
     cache_weight, cache_accum = _apply_packed_admits(
-        cache_weight, cache_accum, packed, c, layout, seed, optimizer,
+        cache_weight, cache_accum, packed, c, layout[:9], seed, optimizer,
         adagrad_initial,
     )
 
@@ -873,10 +886,15 @@ class CachedDLRMTrainer:
                 ddt = ml_dtypes.bfloat16 if dmode == "bfloat16" else np.float32
                 dense = np.stack([np.asarray(b.dense_features, ddt) for b in batches])
                 dense_meta = None
+            lbits = False
             if self.mesh is None:
                 labels = np.stack(
                     [np.asarray(b.labels).astype(np.uint8) for b in batches]
                 )
+                if labels.size % 8 == 0 and labels.max(initial=0) <= 1:
+                    # binary labels ship at 1 bit each (little-endian bit order)
+                    labels = np.packbits(labels.reshape(-1), bitorder="little")
+                    lbits = True
             from cachedembedding_tpu._native import hostops
 
             F = f0.num_features
@@ -945,7 +963,7 @@ class CachedDLRMTrainer:
                         acc = np.zeros((fb,), np.float32)
                         acc[: extras.fetch_accum.shape[0]] = extras.fetch_accum
                         parts.append(acc.view(np.uint8))
-            layout = (P, L, B, Din, dmode, id_width, sb, fb, fmode)
+            layout = (P, L, B, Din, dmode, id_width, sb, fb, fmode, lbits)
             pw_out = extras if extras is not None else pw
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as PS

@@ -81,9 +81,15 @@ def main():
     p.add_argument("--seed", type=int, default=1024)
     p.add_argument("--use_freq", action="store_true", default=True)
     p.add_argument("--auroc_tol", type=float, default=0.002)
+    p.add_argument("--platform", choices=["default", "cpu"], default="default",
+                   help="force the jax platform (env vars are too late: the "
+                        "TPU sitecustomize imports jax first)")
     args = p.parse_args()
 
     import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -161,10 +167,12 @@ def main():
         report = trainer.train(train_data(), num_iters=args.train_batches)
         ev = trainer.evaluate(eval_data())
         stats = trainer.embed.stats
+        stride = max(1, len(report.losses) // 16)
         results[name] = dict(
             it_per_s=round(report.it_per_s, 2),
             examples_per_s=round(report.examples_per_s, 1),
             final_loss=round(float(np.mean(report.losses[-8:])), 5),
+            loss_curve=[round(float(x), 5) for x in report.losses[::stride]],
             auroc=round(ev["auroc"], 6),
             accuracy=round(ev["accuracy"], 6),
             hit_rate=round(stats.hit_rate(), 4) if name == "cached" else 1.0,

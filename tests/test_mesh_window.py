@@ -70,11 +70,14 @@ def test_mesh_window_adagrad_matches_single_chip():
     np.testing.assert_allclose(ev1["auroc"], ev2["auroc"], atol=2e-3)
 
 
-def test_mesh_window_evictions():
+@pytest.mark.parametrize("transfer", ["float32", "int8"])
+def test_mesh_window_evictions(transfer):
     """Small cache: the mesh window must carry synth + fetched admits and
-    eviction writebacks through the sharded cache without corruption."""
+    eviction writebacks (incl. int8-quantized payloads) through the sharded
+    cache without corruption."""
     tables = [2000, 1000]
-    cfg = _cfg(tables, 128, cache_kw=dict(cache_ratio=0.25))
+    ckw = dict(cache_ratio=0.25, transfer_dtype=transfer)
+    cfg = _cfg(tables, 128, cache_kw=ckw)
     mesh = make_mesh(len(jax.devices()))
     data = _data(tables, cfg, 8)
     trainer = CachedDLRMTrainer(cfg, mesh=mesh)
@@ -82,7 +85,7 @@ def test_mesh_window_evictions():
     assert np.isfinite(report.losses).all()
     assert trainer.embed.stats.prepare_calls > 0
     # single-chip twin on the same stream must agree
-    cfg2 = _cfg(tables, 128, cache_kw=dict(cache_ratio=0.25))
+    cfg2 = _cfg(tables, 128, cache_kw=dict(ckw))
     trainer2 = CachedDLRMTrainer(cfg2)
     report2 = trainer2.train(_data(tables, cfg2, 8), num_iters=8)
     np.testing.assert_allclose(report2.losses, report.losses, rtol=2e-4)

@@ -87,3 +87,32 @@ def test_ragged_window_adagrad():
 def test_ragged_window_mean_mode():
     rep, _ = _run("host", reduction_mode="mean")
     assert np.isfinite(rep.losses).all()
+
+
+def test_ragged_window_with_resident_split():
+    """Ragged fused windows + mixed-kernel resident region together."""
+    rng = np.random.default_rng(9)
+    sizes = [800, 60, 30]  # tables 1,2 resident under threshold 100
+    traces = []
+    for rows in sizes:
+        lengths = rng.integers(0, 5, 2048)
+        offsets = np.concatenate([[0], np.cumsum(lengths)])
+        u = rng.random(offsets[-1])
+        ids = np.minimum((rows * u ** 2.0).astype(np.int64), rows - 1)
+        traces.append((ids, offsets))
+    runs = []
+    for thr in (0, 100):
+        cfg = _cfg(sizes, "host", cache_ratio=0.9)
+        cfg.cache.resident_threshold = thr
+        data = SynthTraceDataset(
+            traces, sizes, batch_size=cfg.batch_size, num_batches=6,
+            dense_in_features=4,
+        )
+        trainer = CachedDLRMTrainer(cfg)
+        if thr:
+            assert trainer.embed.resident_tables == [1, 2]
+        rep = trainer.train(data, num_iters=6)
+        assert np.isfinite(rep.losses).all()
+        runs.append(rep.losses)
+    # same canonical init + big-enough cache: resident split is transparent
+    np.testing.assert_allclose(runs[0], runs[1], rtol=2e-4)
