@@ -39,6 +39,10 @@ def bag_pool_uniform(
     (/root/reference/baselines/models/dlrm.py:99-101).
     """
     rows = jnp.take(weight, ids_fbp, axis=0)  # (F, B, P, D)
+    if rows.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        # 8-bit floats have no implicit promotion path; upcast right after
+        # the gather (the rows were only fp8 for storage/bandwidth)
+        rows = rows.astype(jnp.float32)
     if per_sample_weights is not None:
         if mode != "sum":
             raise ValueError("per_sample_weights requires mode='sum'")

@@ -61,6 +61,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                    default="float32",
                    help="host<->HBM row payload dtype; int8 = per-row symmetric "
                         "quantization, 129B/row on the wire vs 258 (bf16) / 516 (f32)")
+    p.add_argument("--cache_dtype",
+                   choices=["float32", "bfloat16", "float8_e4m3fn"],
+                   default="bfloat16",
+                   help="HBM cache-row storage dtype; fp8 halves cache HBM "
+                        "again (arithmetic stays f32; AUROC retention gated "
+                        "by tests)")
     p.add_argument("--planner", choices=["auto", "host", "device"], default="auto",
                    help="cache planner: native host directory vs jitted device state machine")
     # parallelism
@@ -126,6 +132,7 @@ def build_config(args):
         prefetch_num=args.prefetch_num,
         use_overlap=args.use_overlap,
         transfer_dtype=args.transfer_dtype,
+        cache_dtype=args.cache_dtype,
         planner=args.planner,
     )
     cfg = DLRMConfig(

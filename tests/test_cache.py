@@ -310,3 +310,42 @@ def test_int8_transfer_trains_with_evictions():
         # churn actually happened (re-admission fetches carried int8 payloads)
         assert trainer.embed.stats.swap_in_bytes > 0
     assert aurocs["int8"] > aurocs["float32"] - 0.01, aurocs
+
+
+def test_fp8_cache_rows_retain_auroc():
+    """cache_dtype=float8_e4m3fn halves cache HBM again (vs bf16): training
+    through eviction churn must retain the bf16 path's AUROC. Storage-only
+    fp8 — pooling/update arithmetic stays f32 with one rounding per step."""
+    from cachedembedding_tpu.config import CacheConfig, DLRMConfig
+    from cachedembedding_tpu.data.synthetic import SyntheticLongTailDataset
+    from cachedembedding_tpu.train.trainer import CachedDLRMTrainer
+
+    tables = [1000, 2000, 500, 300]
+    aurocs = {}
+    for cd in ("bfloat16", "float8_e4m3fn"):
+        cfg = DLRMConfig(
+            num_embeddings_per_feature=tables,
+            embedding_dim=16,
+            dense_in_features=4,
+            dense_arch_layer_sizes=(32, 16),
+            over_arch_layer_sizes=(32, 16, 1),
+            batch_size=256,
+            learning_rate=0.3,
+            cache=CacheConfig(
+                cache_ratio=0.25, warmup_ratio=0.7, buffer_size=0,
+                prefetch_num=2, cache_dtype=cd,
+            ),
+        )
+        data = SyntheticLongTailDataset(
+            tables, cfg.batch_size, num_batches=30, dense_in_features=4, seed=3
+        )
+        eval_data = SyntheticLongTailDataset(
+            tables, cfg.batch_size, num_batches=5, dense_in_features=4, seed=99
+        )
+        trainer = CachedDLRMTrainer(cfg, id_freq_map=data.id_freq_map())
+        rep = trainer.train(data, num_iters=30)
+        assert np.isfinite(rep.losses).all()
+        assert trainer.embed.cache_weight.dtype == np.dtype(cd)
+        aurocs[cd] = trainer.evaluate(eval_data)["auroc"]
+        assert trainer.embed.stats.swap_in_bytes > 0  # churn happened
+    assert aurocs["float8_e4m3fn"] > aurocs["bfloat16"] - 0.01, aurocs
