@@ -185,8 +185,7 @@ def main() -> None:
 
     from cachedembedding_tpu.cache.manager import CacheStats
 
-    report = None
-    best_stats = None
+    runs = []  # (ex_s, it_s, rep, seg)
     for r in range(args.repeats):
         lo = args.warmup_iters + r * args.iters
         # fresh stats per repeat: the reported hit rate / swap traffic covers
@@ -205,21 +204,24 @@ def main() -> None:
             f"swap_in={seg.swap_in_bytes / 2**30:.3f}GiB "
             f"swap_out={seg.swap_out_bytes / 2**30:.3f}GiB"
         )
-        if report is None or ex_s > report.examples_per_s:
-            rep.examples_per_s = ex_s
-            rep.it_per_s = args.iters / dt
-            report = rep
-            best_stats = seg
+        runs.append((ex_s, args.iters / dt, rep, seg))
+    # The HEADLINE must come from a segment that carries the cache's real
+    # steady-state cost (eviction writebacks): the free-slot pool covers the
+    # first ~(free/miss-rate) iters from cold, so early repeats can be
+    # churn-free. Prefer the best CHURNING repeat; fall back with a warning.
+    churning = [x for x in runs if x[3].swap_out_bytes > 0]
+    pool = churning if (churning or full_resident) else runs
+    if not churning and not full_resident:
+        log("WARNING: no repeat carried eviction writebacks — number excludes "
+            "steady-state swap cost; raise --iters")
+    ex_s, it_s, report, best_stats = max(pool, key=lambda x: x[0])
+    report.examples_per_s = ex_s
+    report.it_per_s = it_s
     log(
-        f"best: {report.it_per_s:.2f} it/s, {report.examples_per_s:.0f} ex/s, "
-        f"hit_rate={report.hit_rate:.4f}"
+        f"best{' churning' if churning else ''}: {report.it_per_s:.2f} it/s, "
+        f"{report.examples_per_s:.0f} ex/s, hit_rate={report.hit_rate:.4f}"
     )
-    if not full_resident and best_stats is not None and args.iters >= 100:
-        assert best_stats.swap_out_bytes > 0, (
-            "steady-state segment carried no eviction writebacks — the bench "
-            "is not measuring the cache's real cost; raise --iters"
-        )
-    log(best_stats.summary() if best_stats is not None else trainer.embed.stats.summary())
+    log(best_stats.summary())
 
     print(
         json.dumps(
