@@ -51,6 +51,9 @@ def build(args, tables, dense_in):
         **arch,
         learning_rate=args.learning_rate,
         compute_dtype=args.compute_dtype,
+        # kaggle scale mirrors bench.py exactly so the A/B reuses its
+        # compiled window signatures (remote compiles are minutes each)
+        dense_input_dtype="int8" if args.scale == "kaggle" else "float32",
         seed=args.seed,
         cache=CacheConfig(
             cache_ratio=args.cache_ratio,
@@ -61,6 +64,7 @@ def build(args, tables, dense_in):
             use_freq=args.use_freq,
             weight_init=args.weight_init,
             transfer_dtype="bfloat16",
+            resident_threshold=500_000 if args.scale == "kaggle" else 0,
         ),
     )
 
@@ -105,6 +109,9 @@ def main():
         defaults = dict(batch_size=16384, embedding_dim=128, learning_rate=1.0,
                         cache_ratio=0.01, train_batches=64, eval_batches=8)
         args.weight_init = "virtual"
+        args.compute_dtype = "bfloat16"
+        args.prefetch = 8
+        args.seed = 7
     else:
         tables = [40_000, 20_000, 10_000, 5_000]
         dense_in = 13

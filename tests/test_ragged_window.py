@@ -24,7 +24,7 @@ def _traces(seed=0, n_tables=3, n_bags=4096, max_len=6, rows=500):
     return traces, sizes
 
 
-def _cfg(tables, planner, cache_ratio=0.9, **kw):
+def _cfg(tables, planner, cache_ratio=0.9, cache_kw_extra=None, **kw):
     return DLRMConfig(
         num_embeddings_per_feature=tables,
         embedding_dim=16,
@@ -36,15 +36,15 @@ def _cfg(tables, planner, cache_ratio=0.9, **kw):
         cache=CacheConfig(
             cache_ratio=cache_ratio, warmup_ratio=0.0, buffer_size=0,
             prefetch_num=2, use_lfu_eviction=True, use_freq=False,
-            planner=planner,
+            planner=planner, **(cache_kw_extra or {}),
         ),
         **kw,
     )
 
 
-def _run(planner, seed=5, n=6, **kw):
+def _run(planner, seed=5, n=6, cache_kw_extra=None, **kw):
     traces, sizes = _traces(seed)
-    cfg = _cfg(sizes, planner, **kw)
+    cfg = _cfg(sizes, planner, cache_kw_extra=cache_kw_extra, **kw)
     data = SynthTraceDataset(
         traces, sizes, batch_size=cfg.batch_size, num_batches=n,
         dense_in_features=4,
@@ -116,3 +116,9 @@ def test_ragged_window_with_resident_split():
         runs.append(rep.losses)
     # same canonical init + big-enough cache: resident split is transparent
     np.testing.assert_allclose(runs[0], runs[1], rtol=2e-4)
+
+
+def test_ragged_window_int8_transfer():
+    rep, ev = _run("host", cache_ratio=0.5, seed=11,
+                   cache_kw_extra=dict(transfer_dtype="int8"))
+    assert np.isfinite(rep.losses).all()
