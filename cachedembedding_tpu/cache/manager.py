@@ -815,11 +815,16 @@ class CachedEmbeddingBag:
                 fetch_accum=empty_f,
                 admit_slots=hp.admit_slots, evict_rows=hp.evict_rows,
             )
-        # In-flight writebacks of any admit row must LAND first: until a
-        # trained row's writeback reaches the host table its written-bit is
-        # unset, and misclassifying it as fresh would re-synthesize its INIT
-        # value, silently losing training.
-        self._ensure_clean(hp.admit_rows, block=False)
+        # ALL in-flight writebacks must LAND before the written-mask check:
+        # correctness-wise a trained row's writeback must reach the host table
+        # before it can be re-admitted (else its INIT value re-synthesizes,
+        # losing training), and determinism-wise the synth/fetch split decides
+        # the window's bucket sizes — i.e. the jit signature set. Draining
+        # fully here makes signatures a pure function of the id stream
+        # (bounded compile set) instead of a function of worker-thread timing.
+        # Cost ~0 in steady state: these readbacks were enqueued BEFORE the
+        # previous window's program, so they are long done by now.
+        self._ensure_clean(None, block=True)
         if self.device_init:
             with self._host_lock:
                 written = self.host_table.written_mask(hp.admit_rows)
