@@ -57,6 +57,10 @@ def main() -> None:
     # 0.25, which yields an unrealistically cold ~67%.
     p.add_argument("--skew", type=float, default=0.5)
     p.add_argument("--pallas", action="store_true", default=None)
+    p.add_argument("--sparse-grad", action="store_true",
+                   help="force the scatter-add embedding-grad path (avoids the "
+                        "dense full-table grad/update passes, which grow with "
+                        "the mixed-kernel resident region)")
     p.add_argument("--platform", choices=["default", "cpu"], default="default",
                    help="force the jax platform (cpu = validation runs; env "
                         "vars are too late because sitecustomize imports jax)")
@@ -132,6 +136,7 @@ def main() -> None:
         # serialized with compute, so bytes are wall time; AUROC retention is
         # gated by tests/test_e2e.py::test_int8_dense_inputs_learn
         dense_input_dtype="int8",
+        use_sparse_embed_grad=args.sparse_grad,
         cache=CacheConfig(
             cache_ratio=cache_ratio,
             warmup_ratio=0.7,
