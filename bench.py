@@ -39,9 +39,12 @@ def main() -> None:
                         "cache fill so the measured segment carries steady-state "
                         "eviction writeback + re-fetch traffic (the reference's "
                         "201-iter methodology, benchmark/benchmark_cache.py:58-75)")
-    p.add_argument("--warmup-iters", type=int, default=24,
-                   help="untimed burn-in: compile + fill the cache's free slots "
-                        "so repeat 0 already evicts")
+    p.add_argument("--warmup-iters", type=int, default=160,
+                   help="untimed burn-in: compile/load every window-program "
+                        "signature AND run past eviction onset (~iter 136 at "
+                        "kaggle scale: the free-slot pool absorbs misses until "
+                        "then), so every timed repeat is steady-state churning "
+                        "with no mid-measurement executable loads")
     p.add_argument("--repeats", type=int, default=3,
                    help="timed repetitions; the BEST is reported (the device link "
                         "is a shared tunnel whose load swings 3x minute-to-minute; "
