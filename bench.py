@@ -67,16 +67,16 @@ def main() -> None:
     p.add_argument("--platform", choices=["default", "cpu"], default="default",
                    help="force the jax platform (cpu = validation runs; env "
                         "vars are too late because sitecustomize imports jax)")
-    p.add_argument("--resident-threshold", type=int, default=20_000,
+    p.add_argument("--resident-threshold", type=int, default=500_000,
                    help="mixed-kernel execution: tables with <= this many rows "
-                        "are HBM-resident (Criteo-Kaggle: 18 of 26 tables = "
-                        "47k rows; the rest stay cached at --cache-ratio). "
-                        "20k is the measured sweet spot: the device cost of "
-                        "the window program scales with the resident-region "
-                        "row count (~0.8 ms/iter per 100k rows), so tiny "
-                        "tables keep nearly all the wire/planning win at "
-                        "~zero device tax (ceiling 1.23x vs 0.96x at 500k, "
-                        "1.27x all-cached). 0 = all tables cached.")
+                        "are HBM-resident; the rest stay cached at "
+                        "--cache-ratio. 0 = all cached. 500k (21 of 26 Kaggle "
+                        "tables resident) minimizes WIRE (id bytes + swap) — "
+                        "the winner on tunnel-class links (same-weather A/B: "
+                        "419k vs 368k ex/s). 20k minimizes DEVICE time "
+                        "(ceiling 61.7 vs 48.1 it/s; the window program costs "
+                        "~0.8 ms/iter per 100k resident rows, cause open) — "
+                        "the winner on fast local links.")
     args = p.parse_args()
 
     import jax
