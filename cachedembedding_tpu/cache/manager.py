@@ -38,7 +38,6 @@ from cachedembedding_tpu.cache.state import (
     EvictionStrategy,
     Plan,
     gather_slots,
-    gather_slots_q8,
     init_cache_state,
     plan_ids,
     remap_ids,
@@ -585,6 +584,18 @@ class CachedEmbeddingBag:
         addresses immediately; cached ids pass through to the directory.
         Returns (out_template int32 with resident addresses placed,
         cached_positions bool mask, cached_ids)."""
+        if ids_np.size:
+            lo = int(ids_np.min())
+            hi = int(ids_np.max())
+            if lo < 0 or hi >= self.num_embeddings:
+                # Without this check a negative id would searchsorted into
+                # table 0 and, when table 0 is resident, silently address a
+                # cache slot — corrupting cache rows (the cached sub-stream is
+                # already validated by PyDirectory.plan).
+                raise ValueError(
+                    f"embedding ids out of range [0, {self.num_embeddings}): "
+                    f"min={lo} max={hi}"
+                )
         t = np.searchsorted(self._goff[1:], ids_np, side="right")
         is_res = self._is_res_table[t]
         out = np.empty(ids_np.shape, np.int32)
@@ -904,13 +915,15 @@ class CachedEmbeddingBag:
                 slots_c = np.full((_bucket(e - s),), -1, np.int32)
                 slots_c[: e - s] = ws.admit_slots[s:e]
                 slots_dev = jnp.array(slots_c)
-                if self.transfer_mode == "int8":
-                    vals_dev = gather_slots_q8(self.cache_weight, slots_dev)
-                else:
-                    vals_dev = gather_slots(
-                        self.cache_weight, slots_dev,
-                        out_dtype="bfloat16" if self._transfer_bf16 else None,
-                    )
+                # Writebacks land in the f32 host master at >= bf16 even in
+                # int8 transfer mode: evict/re-admit churn would otherwise apply
+                # a fresh per-row quantization each cycle, growing master error
+                # with churn count. Admits (the wire-dominant direction) still
+                # ship int8.
+                vals_dev = gather_slots(
+                    self.cache_weight, slots_dev,
+                    out_dtype=None if self.transfer_mode == "float32" else "bfloat16",
+                )
                 accum_dev = (
                     gather_slots(self.cache_accum[:, None], slots_dev)
                     if self.cache_accum is not None
@@ -949,13 +962,12 @@ class CachedEmbeddingBag:
                 slots_c = np.full((_bucket(e - s),), -1, np.int32)
                 slots_c[: e - s] = hp.admit_slots[s:e]
                 slots_dev_wb = jnp.array(slots_c)
-                if self.transfer_mode == "int8":
-                    vals_dev = gather_slots_q8(self.cache_weight, slots_dev_wb)
-                else:
-                    vals_dev = gather_slots(
-                        self.cache_weight, slots_dev_wb,
-                        out_dtype="bfloat16" if self._transfer_bf16 else None,
-                    )
+                # bf16 (not int8) writebacks — see note in the device-planner
+                # writeback path above.
+                vals_dev = gather_slots(
+                    self.cache_weight, slots_dev_wb,
+                    out_dtype=None if self.transfer_mode == "float32" else "bfloat16",
+                )
                 self._pending_wb.append(
                     (ev_rows_c[wb_mask], wb_mask, e - s, vals_dev, None)
                 )

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+import warnings
 from functools import partial
 from typing import Iterable, List, Optional
 
@@ -407,11 +408,14 @@ def _decode_window_ids(packed: jnp.ndarray, layout: tuple):
     P, L, B = layout[0], layout[1], layout[2]
     id_spec = layout[5]
     if isinstance(id_spec, tuple):
+        # Per-feature blocks carry L//F elements each (= B * pooling), matching
+        # the encoder's (P, F, Bf) layout — NOT B, which differs when pooling>1.
+        Bf = L // len(id_spec)
         a = 0
         cols = []
         for w, delta in id_spec:
-            nb = (P * B * w) // 8
-            v = _unpack_flat(packed[a : a + nb], P * B, w).reshape(P, B)
+            nb = (P * Bf * w) // 8
+            v = _unpack_flat(packed[a : a + nb], P * Bf, w).reshape(P, Bf)
             cols.append(v + delta if delta else v)
             a += nb
         return jnp.stack(cols, axis=1).reshape(P, L), a
@@ -973,7 +977,16 @@ class CachedDLRMTrainer:
                 rep = NamedSharding(self.mesh, PS())
                 shd = NamedSharding(self.mesh, PS(None, AXIS))  # batch axis 1
                 buf_dev = jax.device_put(np.concatenate(parts), rep)
-                ddt = ml_dtypes.bfloat16 if dmode == "bfloat16" else np.float32
+                if dmode == "int8" and not getattr(self, "_warned_mesh_int8", False):
+                    # The mesh step fn has no dequant path; shipping bf16 keeps
+                    # the wire halved vs f32 without silently changing numerics
+                    # relative to what the config promised.
+                    warnings.warn(
+                        "dense_input_dtype='int8' is not supported in mesh mode; "
+                        "dense features ship as bfloat16 instead"
+                    )
+                    self._warned_mesh_int8 = True
+                ddt = np.float32 if dmode == "float32" else ml_dtypes.bfloat16
                 dense_dev = jax.device_put(
                     np.stack([np.asarray(b.dense_features, ddt) for b in batches]),
                     shd,

@@ -32,9 +32,10 @@ def _cfg(resident_threshold=0, cache_ratio=0.9, **kw):
     )
 
 
-def _data(cfg, n, seed=31):
+def _data(cfg, n, seed=31, pooling=1):
     return SyntheticLongTailDataset(
-        TABLES, cfg.batch_size, num_batches=n, dense_in_features=4, seed=seed
+        TABLES, cfg.batch_size, num_batches=n, dense_in_features=4, seed=seed,
+        pooling_factor=pooling,
     )
 
 
@@ -114,6 +115,21 @@ def test_all_tables_resident():
     assert np.isfinite(rep.losses).all()
     st = trainer.embed.stats
     assert st.swap_in_bytes == 0 and sum(st.num_miss_history) == 0
+
+
+def test_mixed_pooling_gt_one():
+    """Per-feature wire format with pooling_factor > 1: the encoder packs
+    L//F = B*pooling ids per feature, and the decoder must use the same count
+    (regression for a decode that reshaped with B and failed at trace time)."""
+    runs = []
+    for thr in (0, 100):
+        cfg = _cfg(resident_threshold=thr)
+        trainer = CachedDLRMTrainer(cfg)
+        rep = trainer.train(_data(cfg, 6, pooling=4), num_iters=6)
+        assert np.isfinite(rep.losses).all()
+        runs.append(rep.losses)
+    # mixed-kernel split must match all-cached on the same pooled stream
+    np.testing.assert_allclose(runs[0], runs[1], rtol=1e-5)
 
 
 def test_mixed_adagrad():
