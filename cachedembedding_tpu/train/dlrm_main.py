@@ -71,6 +71,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="cache planner: native host directory vs jitted device state machine")
     # parallelism
     p.add_argument("--use_tablewise", action="store_true")
+    p.add_argument("--use_rowwise", action="store_true",
+                   help="row-sharded cached embedding: host-DRAM master "
+                        "sharded row-wise across hosts, per-host directory + "
+                        "HBM cache over locally-owned rows, owner-routed id "
+                        "exchange (torchrec ROW_WISE analog, "
+                        "baselines/dlrm_main.py:709-721 — the >=2-host shape)")
     p.add_argument("--fused_op", choices=["all_to_all", "gather_scatter"], default="all_to_all")
     p.add_argument("--world_size", type=int, default=None,
                    help="devices to use (default: all visible)")
@@ -306,6 +312,142 @@ def run_hybrid(args, cfg, freq) -> None:
             )
 
 
+def run_rowwise(args, cfg, freq) -> None:
+    """Row-sharded cached training over the mesh (parallel/row_cached.py):
+    per-batch steps — ids routed to owner shards host-side, per-shard planners
+    admit/evict on their own row ranges, one shard_map execute per batch with
+    the owner-routed all_to_all data plane. The >=2-host topology of
+    BASELINE.md, runnable today on the virtual CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from cachedembedding_tpu.cache.state import EvictionStrategy
+    from cachedembedding_tpu.models.dlrm import init_dlrm_dense
+    from cachedembedding_tpu.models.deepfm import init_deepfm
+    from cachedembedding_tpu.parallel.mesh import make_mesh
+    from cachedembedding_tpu.parallel.row_cached import (
+        RowShardedCachedEmbeddingBag,
+        build_rowwise_cached_step,
+    )
+    from cachedembedding_tpu.utils.metrics import StreamingMetrics
+
+    n = args.world_size or len(jax.devices())
+    mesh = make_mesh(n)
+    cache_cfg = cfg.cache
+    embed = RowShardedCachedEmbeddingBag(
+        cfg.total_num_embeddings,
+        cfg.embedding_dim,
+        mesh=mesh,
+        cache_ratio=cache_cfg.cache_ratio,
+        ids_freq_mapping=freq if cache_cfg.use_freq else None,
+        warmup_ratio=cache_cfg.warmup_ratio,
+        buffer_size=cache_cfg.buffer_size,
+        evict_strategy=(
+            EvictionStrategy.LFU if cache_cfg.use_lfu_eviction
+            else EvictionStrategy.LFU
+        ),
+        seed=cfg.seed,
+        weight_init=cache_cfg.weight_init
+        if cache_cfg.weight_init != "virtual" else "uniform",
+        transfer_dtype=cache_cfg.transfer_dtype,
+    )
+    key = jax.random.PRNGKey(cfg.seed)
+    if cfg.model == "deepfm":
+        dp = init_deepfm(
+            key, cfg.embedding_dim, cfg.num_sparse_features,
+            cfg.dense_in_features,
+            hidden_layer_size=cfg.dense_arch_layer_sizes[0],
+            deep_fm_dimension=cfg.deep_fm_dimension,
+        )
+    else:
+        dp = init_dlrm_dense(
+            key, cfg.embedding_dim, cfg.num_sparse_features,
+            cfg.dense_in_features, cfg.dense_arch_layer_sizes,
+            cfg.over_arch_layer_sizes,
+        )
+    steps = {
+        True: build_rowwise_cached_step(
+            mesh, num_features=cfg.num_sparse_features,
+            global_batch=cfg.batch_size, pooling=1,
+            capacity=embed.capacity, model=cfg.model, train=True,
+        ),
+        False: build_rowwise_cached_step(
+            mesh, num_features=cfg.num_sparse_features,
+            global_batch=cfg.batch_size, pooling=1,
+            capacity=embed.capacity, model=cfg.model, train=False,
+        ),
+    }
+    B_local = cfg.batch_size // n
+    F = cfg.num_sparse_features
+
+    def per_rank_ids(batch):
+        f = batch.sparse_features
+        fb = np.asarray(f.values).reshape(F, cfg.batch_size, -1)
+        return np.stack(
+            [fb[:, r * B_local : (r + 1) * B_local].reshape(-1) for r in range(n)]
+        )
+
+    def run(stage, limit, train, progress_total=None):
+        metrics = StreamingMetrics()
+        losses, done = [], 0
+        lrj = jnp.asarray(cfg.learning_rate, jnp.float32)
+        nonlocal dp
+        for batch in get_data(args, cfg, stage):
+            if limit is not None and done >= limit:
+                break
+            enc = embed.prepare_ids_per_rank(per_rank_ids(batch))
+            cache = embed.global_cache()
+            d = np.asarray(batch.dense_features, np.float32).reshape(
+                n, B_local, -1
+            )
+            if train:
+                lr = cfg.learning_rate
+                if progress_total and cfg.change_lr:
+                    if done / max(progress_total, 1) >= cfg.lr_change_point:
+                        lr = cfg.lr_after
+                lrj = jnp.asarray(lr, jnp.float32)
+                l = np.asarray(batch.labels, np.float32).reshape(n, B_local)
+                dp, cache, loss = steps[True](
+                    dp, cache, jnp.asarray(enc), jnp.asarray(d),
+                    jnp.asarray(l), lrj, lrj,
+                )
+                losses.append(float(loss))
+            else:
+                probs = steps[False](
+                    dp, cache, jnp.asarray(enc), jnp.asarray(d), lrj, lrj
+                )
+                metrics.update(
+                    np.asarray(probs).reshape(-1), np.asarray(batch.labels)
+                )
+            embed.sync_shards(cache)
+            done += 1
+        return (losses if train else metrics.compute()), done
+
+    import time
+
+    limit = args.limit_train_batches
+    for epoch in range(cfg.epochs):
+        t0 = time.perf_counter()
+        train_losses, n_it = run("train", limit, True, progress_total=limit)
+        dt = time.perf_counter() - t0
+        msg = (
+            f"rowwise[{n}dev] epoch {epoch}: {n_it} iters in {dt:.0f}s "
+            f"({n_it / dt:.2f} it/s, {n_it * cfg.batch_size / dt:.0f} ex/s)"
+        )
+        if train_losses:
+            msg += f", final loss={train_losses[-1]:.5f}"
+        print(msg)
+        print(embed.aggregate_stats().summary())
+        for stage, lim in [("val", args.limit_val_batches),
+                           ("test", args.limit_test_batches)]:
+            m, cnt = run(stage, lim, False)
+            print(
+                f"rowwise[{n}dev] epoch {epoch} {stage}: "
+                f"auroc={m['auroc']:.9f} accuracy={m['accuracy']:.9f} "
+                f"over {m['count']}"
+            )
+
+
 def main(argv=None) -> None:
     args = parse_args(argv)
     if args.multihost:
@@ -327,6 +469,8 @@ def main(argv=None) -> None:
     eff_world = args.world_size or len(jax.devices())
     if args.use_tablewise:
         return run_hybrid(args, cfg, freq)
+    if args.use_rowwise:
+        return run_rowwise(args, cfg, freq)
 
     mesh = None
     if eff_world > 1:
