@@ -37,6 +37,13 @@ class CacheConfig:
     # gather 4x faster on TPU (256B rows hit XLA's vectorized gather) and halve
     # cache HBM; the host master table stays float32, update arithmetic runs in
     # f32 with one rounding per step, and pooling accumulates in f32.
+    stochastic_rounding: str = "auto"  # "auto" | "on" | "off" — stochastic
+    # rounding of the per-step f32 update back into low-precision cache rows
+    # (ops/rounding.py: pltpu.stochastic_round on TPU, exact emulation
+    # elsewhere). "auto" enables it for fp8 cache dtypes, where deterministic
+    # round-to-nearest stagnates under small late-stage LRs (sub-ulp updates
+    # always snap back). Applies to the fused-window dense-grad path; forces
+    # the dense-grad path when on.
     use_pallas_lookup: bool = False    # Pallas gather+pool kernel vs XLA take/segment-sum
     resident_threshold: int = 0        # MIXED-KERNEL execution: tables with
     # <= this many rows are kept fully HBM-resident (planner kernel HBM_FULL)

@@ -64,8 +64,11 @@ def _kernel(bs_ref, v_hbm, g_hbm, out_ref, v_scr, g_scr, sems, *, block_rows, ch
     acc0 = jnp.zeros((R, D), jnp.float32)
     row0 = b * R
 
+    # Chunks are ABSOLUTE E-aligned ranges (DMA offsets in the lane dimension
+    # must be 128-aligned on TPU); a chunk straddling a bin boundary is
+    # processed by both bins with complementary masks.
     def do_chunk(k, acc):
-        e0 = start + k * E
+        e0 = pl.multiple_of(k * E, E)
         vdma = pltpu.make_async_copy(
             v_hbm.at[:, pl.ds(e0, E)], v_scr, sems.at[0]
         )
@@ -76,11 +79,10 @@ def _kernel(bs_ref, v_hbm, g_hbm, out_ref, v_scr, g_scr, sems, *, block_rows, ch
         gdma.start()
         vdma.wait()
         gdma.wait()
-        # local row index within this bin's tile; out-of-range (masked tail /
-        # next bin's elements in the over-read) compares equal to no tile row
-        valid = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, E), 1) + e0 < end
-        )
+        # local row index within this bin's tile; elements outside
+        # [start, end) compare equal to no tile row
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, E), 1) + e0
+        valid = (idx >= start) & (idx < end)
         local = jnp.where(valid, v_scr[:, :] - row0, -1)  # (1, E)
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (R, E), 0) == local
@@ -92,8 +94,9 @@ def _kernel(bs_ref, v_hbm, g_hbm, out_ref, v_scr, g_scr, sems, *, block_rows, ch
             preferred_element_type=jnp.float32,
         )
 
-    n_chunks = pl.cdiv(end - start, E)
-    out_ref[:, :] = jax.lax.fori_loop(0, n_chunks, do_chunk, acc0)
+    k_lo = start // E
+    k_hi = pl.cdiv(end, E)
+    out_ref[:, :] = jax.lax.fori_loop(k_lo, k_hi, do_chunk, acc0)
 
 
 @partial(

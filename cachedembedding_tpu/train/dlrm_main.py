@@ -67,6 +67,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="HBM cache-row storage dtype; fp8 halves cache HBM "
                         "again (arithmetic stays f32; AUROC retention gated "
                         "by tests)")
+    p.add_argument("--stochastic_rounding", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="stochastic rounding of cache-row updates (auto = on "
+                        "for fp8 cache dtypes; fixes sub-ulp update "
+                        "stagnation at small late-stage LRs)")
     p.add_argument("--planner", choices=["auto", "host", "device"], default="auto",
                    help="cache planner: native host directory vs jitted device state machine")
     # parallelism
@@ -139,6 +144,7 @@ def build_config(args):
         use_overlap=args.use_overlap,
         transfer_dtype=args.transfer_dtype,
         cache_dtype=args.cache_dtype,
+        stochastic_rounding=args.stochastic_rounding,
         planner=args.planner,
     )
     cfg = DLRMConfig(

@@ -162,6 +162,7 @@ def _train_window_step(
     sparse_lrs: jnp.ndarray,    # (P,)
     dense_lrs: jnp.ndarray,     # (P,)
     cache_accum: jnp.ndarray = None,
+    sr_seed: jnp.ndarray = None,  # stochastic-rounding seed (None = off)
     *,
     num_features: int,
     batch_size: int,
@@ -190,6 +191,7 @@ def _train_window_step(
         mode=mode, compute_dtype=jnp.dtype(compute_dtype_name),
         use_pallas=use_pallas, sparse_grad=sparse_grad, model=model,
         optimizer=optimizer, adagrad_eps=adagrad_eps, cache_accum=cache_accum,
+        sr_seed=sr_seed,
     )
 
 
@@ -197,14 +199,33 @@ def _scan_window(
     dense_params, cache_weight, xs,
     *, num_features, batch_size, pooling, mode, compute_dtype, use_pallas,
     sparse_grad, model="dlrm", optimizer="sgd", adagrad_eps=1e-10,
-    cache_accum=None, ragged=False,
+    cache_accum=None, ragged=False, sr_seed=None,
 ):
     """``ragged=True`` scans (dense, padded values, per-bag lengths, labels,
     lrs): offsets rebuild on device from lengths and pad-tail values fall past
     the last offset, where segment_ids() maps them out of range and
     segment_sum drops them — the fused-window path for variable-pooling
-    (fbgemm-trace) workloads."""
+    (fbgemm-trace) workloads.
+
+    ``sr_seed`` (traced scalar, or None): stochastic rounding of the per-step
+    f32 update back to the cache storage dtype (ops/rounding.py) — the fp8
+    small-LR accumulation fix. Dense-grad path only: the scatter-add path
+    accumulates IN storage dtype, where per-addend rounding cannot be made
+    unbiased."""
+    if sr_seed is not None:
+        assert not sparse_grad, "stochastic rounding requires the dense-grad path"
+        P_steps = xs[0].shape[0]
+        step_seeds = (
+            jnp.uint32(sr_seed) * jnp.uint32(0x9E3779B9)
+            + jnp.arange(P_steps, dtype=jnp.uint32)
+        )
+        xs = tuple(xs) + (step_seeds,)
+
     def body(carry, xs):
+        if sr_seed is not None:
+            *xs, step_seed = xs
+        else:
+            step_seed = None
         if optimizer == "rowwise_adagrad":
             dp, cw, acc = carry
         else:
@@ -276,7 +297,15 @@ def _scan_window(
                 acc = acc + jnp.mean(g32 * g32, axis=1)
                 g32 = g32 / (jnp.sqrt(acc) + adagrad_eps)[:, None]
             # update arithmetic in f32, ONE rounding back to the storage dtype
-            cw = (cw.astype(jnp.float32) - slr * g32).astype(cw.dtype)
+            # (stochastic when sr_seed is set: E[stored] == f32 value, so
+            # sub-ulp fp8 updates accumulate instead of snapping back)
+            new32 = cw.astype(jnp.float32) - slr * g32
+            if step_seed is not None:
+                from cachedembedding_tpu.ops.rounding import stochastic_astype
+
+                cw = stochastic_astype(new32, cw.dtype, step_seed)
+            else:
+                cw = new32.astype(cw.dtype)
         dp = jax.tree_util.tree_map(lambda p, g: p - dlr * g, dp, g_dense)
         if optimizer == "rowwise_adagrad":
             return (dp, cw, acc), loss
@@ -473,6 +502,7 @@ def _train_window_packed(
     dense_lrs: jnp.ndarray,     # (P,)
     seed: jnp.ndarray,          # () uint32 — canonical init seed (synth admits)
     cache_accum: jnp.ndarray = None,  # (C,) f32 rowwise-adagrad state
+    sr_seed: jnp.ndarray = None,  # stochastic-rounding seed (None = off)
     *,
     layout: tuple,  # (P, L, B, Din, dense_mode, id_width_bits, synth_bucket,
     # fetch_bucket, fmode) — sb/fb are 0 when the window has no such admits
@@ -513,6 +543,7 @@ def _train_window_packed(
         mode=mode, compute_dtype=jnp.dtype(compute_dtype_name),
         use_pallas=use_pallas, sparse_grad=sparse_grad, model=model,
         optimizer=optimizer, adagrad_eps=adagrad_eps, cache_accum=cache_accum,
+        sr_seed=sr_seed,
     )
 
 
@@ -814,6 +845,12 @@ class CachedDLRMTrainer:
         # world-size scaling (the reference scales LR to compensate for
         # local-mean grads, /root/reference/recsys/dlrm_main.py:455-461 —
         # same effective update either way).
+        srm = cache_cfg.stochastic_rounding
+        # fp8 rows stagnate under deterministic rounding at small LRs; the
+        # fused-window dense-grad path rounds stochastically (ops/rounding.py)
+        self._sr = srm == "on" or (
+            srm == "auto" and str(cache_cfg.cache_dtype).startswith("float8")
+        )
         self.data_parallel_size = 1 if mesh is not None else int(np.prod(cfg.mesh_shape))
         self._step_idx = 0
         self._lr_cache: dict = {}
@@ -1229,12 +1266,13 @@ class CachedDLRMTrainer:
             L = layout[1]
             sparse_grad = accum is None and (
                 cfg.use_sparse_embed_grad or self._device_rows() > 4 * L
-            ) and f0.pooling is not None
+            ) and f0.pooling is not None and not self._sr
             out = _train_window_packed(
                 self.dense_params, self.embed.cache_weight, buf_dev,
                 sparse_lrs, dense_lrs,
                 getattr(self.embed, "_seed_u32", jnp.uint32(0)),
                 accum,
+                jnp.uint32(self._step_idx) if self._sr else None,
                 layout=layout, sparse_grad=sparse_grad,
                 adagrad_initial=getattr(self.embed, "adagrad_initial", 0.0),
                 **common,
@@ -1246,10 +1284,11 @@ class CachedDLRMTrainer:
             labels = np.stack([np.asarray(b.labels) for b in batches])
             sparse_grad = accum is None and (
                 cfg.use_sparse_embed_grad or self._device_rows() > 4 * L
-            ) and f0.pooling is not None
+            ) and f0.pooling is not None and not self._sr
             out = _train_window_step(
                 self.dense_params, self.embed.cache_weight, jnp.asarray(dense),
                 slot_vals, jnp.asarray(labels), sparse_lrs, dense_lrs, accum,
+                jnp.uint32(self._step_idx) if self._sr else None,
                 sparse_grad=sparse_grad, **common,
             )
         if accum is not None:
