@@ -169,6 +169,31 @@ void bincount_i32(const int64_t* ids, int64_t* out, int64_t n, int64_t num_rows)
   }
 }
 
+// Bin-grouping plan for the Pallas binned MXU scatter-add backward
+// (cachedembedding_tpu/ops/binned_scatter.py): stable counting sort of the
+// id stream by (id / block_rows) bin. Two linear passes (~1-2 ms at L=426k
+// vs ~25 ms for np.argsort). The kernel needs only bin-contiguity, not a
+// full sort — within a bin any order is correct (the one-hot handles it).
+// Outputs: perm (n), ids_grouped (n), bin_starts (nb+1).
+void sort_plan_i32(const int32_t* ids, int64_t n, int64_t num_rows,
+                   int64_t block_rows, int32_t* perm, int32_t* ids_grouped,
+                   int32_t* bin_starts) {
+  const int64_t nb = (num_rows + block_rows - 1) / block_rows;
+  std::vector<int64_t> cur(nb + 1, 0);
+  for (int64_t i = 0; i < n; ++i) ++cur[ids[i] / block_rows + 1];
+  int64_t cum = 0;
+  for (int64_t b = 0; b <= nb; ++b) {
+    cum += cur[b];
+    cur[b] = cum;
+    bin_starts[b] = static_cast<int32_t>(cum);
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t p = cur[ids[i] / block_rows]++;
+    perm[p] = static_cast<int32_t>(i);
+    ids_grouped[p] = ids[i];
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Overlay table: a virtual host embedding table. Un-written rows are generated
 // procedurally (deterministic per-row RNG, U(-bound, bound) with a per-row

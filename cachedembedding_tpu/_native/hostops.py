@@ -60,6 +60,10 @@ def _load_lib():
         lib.bincount_i32.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.sort_plan_i32.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.pack_ids_u8.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ]
@@ -271,6 +275,31 @@ def pack_ids_any(ids: np.ndarray, width_bits: int) -> np.ndarray:
     for j in range(k):
         out[:, j] = ((combined >> np.uint64(8 * j)) & np.uint64(0xFF)).astype(np.uint8)
     return out.reshape(-1)
+
+
+def sort_plan(ids: np.ndarray, num_rows: int, block_rows: int = 256):
+    """Bin-grouping plan for the Pallas binned scatter-add backward
+    (ops/binned_scatter.py): returns (perm, ids_grouped, bin_starts) with the
+    id stream stably grouped by (id // block_rows). Native counting sort (two
+    linear passes) when built; np.argsort fallback otherwise."""
+    ids = np.ascontiguousarray(ids.reshape(-1), dtype=np.int32)
+    n = ids.shape[0]
+    nb = -(-num_rows // block_rows)
+    lib = _load_lib()
+    if lib is not None:
+        perm = np.empty((n,), np.int32)
+        grouped = np.empty((n,), np.int32)
+        bin_starts = np.empty((nb + 1,), np.int32)
+        lib.sort_plan_i32(
+            ids.ctypes.data, n, num_rows, block_rows,
+            perm.ctypes.data, grouped.ctypes.data, bin_starts.ctypes.data,
+        )
+        return perm, grouped, bin_starts
+    perm = np.argsort(ids, kind="stable").astype(np.int32)
+    grouped = ids[perm]
+    bounds = block_rows * np.arange(nb + 1, dtype=np.int64)
+    bin_starts = np.searchsorted(grouped, bounds).astype(np.int32)
+    return perm, grouped, bin_starts
 
 
 def bincount(ids: np.ndarray, num_rows: int, out: np.ndarray | None = None) -> np.ndarray:

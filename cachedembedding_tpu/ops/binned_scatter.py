@@ -176,12 +176,11 @@ def binned_scatter_add(
 
 
 def sort_plan_np(v: np.ndarray, num_rows: int, block_rows: int = 256):
-    """Host-side plan for one iteration's id stream: (perm, v_sorted,
-    bin_starts). A stable counting/radix sort — np.argsort here; the native
-    hostops path does a two-pass radix. ~1-2 ms per 426k ids in C++."""
-    perm = np.argsort(v, kind="stable").astype(np.int32)
-    v_sorted = v[perm].astype(np.int32)
-    NB = _cdiv(num_rows, block_rows)
-    bounds = block_rows * np.arange(NB + 1, dtype=np.int64)
-    bin_starts = np.searchsorted(v_sorted, bounds).astype(np.int32)
-    return perm, v_sorted, bin_starts
+    """Host-side plan for one iteration's id stream: (perm, ids_grouped,
+    bin_starts) — the stream stably grouped by (id // block_rows). Routed to
+    the native two-pass counting sort (hostops.sort_plan, ~4.5 ms at L=426k
+    vs ~25 ms np.argsort); falls back to argsort when the lib isn't built.
+    The kernel needs bin-contiguity only, so either grouping is valid."""
+    from cachedembedding_tpu._native import hostops
+
+    return hostops.sort_plan(v, num_rows, block_rows)
