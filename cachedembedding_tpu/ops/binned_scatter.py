@@ -7,36 +7,43 @@ puts the accumulation on the MXU instead of the scalar core:
   grad_weight[v[i]] += g[i]     for i in [0, L)
 
 XLA's unsorted scatter-add runs at a per-element scalar rate (~10-13 ns/elem
-on v5e — docs/PERF_NOTES.md), i.e. ~5.7 ms at L=426k regardless of row width.
-The observation that beats it: **once elements are ordered by destination row,
-every 256-row output tile's contributors form one contiguous range of the
-element stream**, and "scatter rows into a tile" becomes a one-hot matmul:
+on v5e — docs/PERF_NOTES.md), i.e. 5.7-10 ms at L=426k regardless of row
+width. The observation that beats it: **once elements are grouped by
+destination tile, every R-row output tile's contributors form one contiguous
+range of the element stream**, and "scatter rows into a tile" becomes a
+one-hot matmul
 
     tile(R, D) += one_hot(local_idx)(R, E) @ g_chunk(E, D)
 
 which is MXU work (L*R*D MACs ~ 1.4e10 at L=426k/R=256/D=128 = ~0.07 ms) plus
-one streaming pass over g (~110 MB bf16 = ~0.14 ms) — far under the scalar
-scatter floor. Duplicates need no special casing: two elements with the same
-local idx are two columns of the one-hot hitting the same tile row.
+one streaming pass over g — far under the scalar scatter floor. Duplicates
+need no special casing: equal local idx = repeated one-hot columns.
 
-The ordering itself is NOT computed on device (device sort: ~10 ms; every
+Kernel structure (v2 — the v1 manual-DMA form measured 13 ms: ~3.5k serial
+DMA round-trips): a host/XLA-computed **visit schedule** drives the grid.
+Visit t processes element-block ci[t] of the grouped stream into output tile
+cb[t]; both arrive via PrefetchScalarGridSpec, so the g/id blocks are ordinary
+BlockSpec inputs that Pallas pipelines (double-buffered DMA overlapped with
+the matmuls), and the output tile stays resident in VMEM across consecutive
+visits of the same bin (index_map unchanged -> accumulate; changed -> write
+back). Boundary blocks shared by two bins are visited twice with
+complementary masks; empty bins get one all-masked visit so their tile is
+written (zeros).
+
+The grouping itself is NOT computed on device (device sort: ~10 ms; every
 sort-free device route measured >= the scatter it saves — PERF_NOTES round-2).
-Instead the HOST ships the sort permutation with the window (it already touches
-every id when bit-packing; a counting sort over slot ids is one extra linear
-pass). Applying the permutation to grads is a vectorized XLA row gather
-(~1.2 ms at L=426k bf16). Wire cost ~L*20 bits/iter: negligible on a real
-TPU-VM host link, toggleable off for tunnel-class links (config
-``ship_sort_perm``).
+The HOST ships the grouping permutation with the window (hostops.sort_plan:
+two-pass counting sort, ~4.5 ms at L=426k; it already touches every id when
+bit-packing). Applying the permutation to grads is one vectorized XLA row
+gather (~1.2 ms at L=426k bf16). Wire cost ~2 x L x 20 bits/iter: negligible
+on a real TPU-VM host link, toggleable for tunnel-class links.
 
-Layout contract (host side, see hostops.sort_plan):
-  * ``v_sorted``  (1, Lp) int32 — slot ids in ascending order, padded to Lp
-    with ``num_rows_padded`` (a sentinel >= the padded row count, so padding
-    lands in no bin).
-  * ``bin_starts`` (NB+1,) int32 — ``searchsorted(v_sorted, R*arange(NB+1))``;
-    bin b owns output rows [R*b, R*(b+1)) and elements
-    [bin_starts[b], bin_starts[b+1]).
-  * ``g_sorted``  (Lp, D) — grad rows permuted into the same order.
-Output: (NB*R, D) f32; callers slice [:num_rows].
+Layout contract (host side, hostops.sort_plan):
+  * ``perm`` (L,) int32 — stable grouping by (id // block_rows);
+  * ``ids_grouped`` (L,) int32 — ids[perm] (bin-contiguous, NOT fully sorted);
+  * ``bin_starts`` (NB+1,) int32 — element range of bin b is
+    [bin_starts[b], bin_starts[b+1]); bin b owns rows [R*b, R*(b+1)).
+Output: (num_rows, D) f32 == zeros(...).at[ids].add(g).
 """
 
 from __future__ import annotations
@@ -54,84 +61,85 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _kernel(bs_ref, v_hbm, g_hbm, out_ref, v_scr, g_scr, sems, *, block_rows, chunk):
-    b = pl.program_id(0)
+def _kernel(cb_ref, ci_ref, first_ref, bs_ref, v_blk, g_blk, out_blk,
+            *, block_rows, chunk):
+    t = pl.program_id(0)
+    b = cb_ref[t]
     start = bs_ref[b]
     end = bs_ref[b + 1]
-    R = block_rows
-    E = chunk
-    D = out_ref.shape[1]
-    acc0 = jnp.zeros((R, D), jnp.float32)
-    row0 = b * R
+    e0 = ci_ref[t] * chunk
 
-    # Chunks are ABSOLUTE E-aligned ranges (DMA offsets in the lane dimension
-    # must be 128-aligned on TPU); a chunk straddling a bin boundary is
-    # processed by both bins with complementary masks.
-    def do_chunk(k, acc):
-        e0 = pl.multiple_of(k * E, E)
-        vdma = pltpu.make_async_copy(
-            v_hbm.at[:, pl.ds(e0, E)], v_scr, sems.at[0]
-        )
-        gdma = pltpu.make_async_copy(
-            g_hbm.at[pl.ds(e0, E), :], g_scr, sems.at[1]
-        )
-        vdma.start()
-        gdma.start()
-        vdma.wait()
-        gdma.wait()
-        # local row index within this bin's tile; elements outside
-        # [start, end) compare equal to no tile row
-        idx = jax.lax.broadcasted_iota(jnp.int32, (1, E), 1) + e0
-        valid = (idx >= start) & (idx < end)
-        local = jnp.where(valid, v_scr[:, :] - row0, -1)  # (1, E)
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (R, E), 0) == local
-        ).astype(g_scr.dtype)
-        return acc + jax.lax.dot_general(
-            onehot,
-            g_scr[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    @pl.when(first_ref[t] == 1)
+    def _():
+        out_blk[...] = jnp.zeros_like(out_blk)
 
-    k_lo = start // E
-    k_hi = pl.cdiv(end, E)
-    out_ref[:, :] = jax.lax.fori_loop(k_lo, k_hi, do_chunk, acc0)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + e0
+    valid = (idx >= start) & (idx < end) & (first_ref[t] != 2)
+    local = jnp.where(valid, v_blk[...] - b * block_rows, -1)  # (1, E)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_rows, chunk), 0) == local
+    ).astype(g_blk.dtype)
+    out_blk[...] += jax.lax.dot_general(
+        onehot,
+        g_blk[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("num_rows_padded", "block_rows", "chunk", "interpret"),
-)
-def binned_scatter_add_sorted(
-    g_sorted: jnp.ndarray,       # (Lp, D) grads permuted into ascending-id order
-    v_sorted: jnp.ndarray,       # (1, Lp) int32 ascending slot ids (pad: >= num_rows_padded)
+@partial(jax.jit, static_argnames=("num_rows_padded", "block_rows", "chunk",
+                                   "interpret"))
+def binned_scatter_add_grouped(
+    g_grouped: jnp.ndarray,      # (Lp, D) grads permuted into bin-grouped order
+    v_grouped: jnp.ndarray,      # (1, Lp) int32 bin-grouped ids
     bin_starts: jnp.ndarray,     # (NB+1,) int32
     num_rows_padded: int,        # NB * block_rows
     block_rows: int = 256,
     chunk: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Core kernel: returns (num_rows_padded, D) f32 accumulated grads."""
-    Lp, D = g_sorted.shape
+    """Core kernel: (num_rows_padded, D) f32 accumulated grads."""
+    Lp, D = g_grouped.shape
     NB = num_rows_padded // block_rows
     assert NB * block_rows == num_rows_padded
     assert bin_starts.shape == (NB + 1,)
+    assert Lp % chunk == 0
+    E = chunk
+    # ---- visit schedule (vectorized XLA; ~T elements of scalar data) -------
+    # bin b's element blocks: [floor(s/E), ceil(e/E)) — at least one visit so
+    # every output tile is written (empty bins: one all-masked zeroing visit)
+    s = bin_starts[:-1]
+    e = bin_starts[1:]
+    # element blocks covering bin b (>= 1 so every output tile gets written;
+    # empty bins take one all-masked zeroing visit)
+    k = jnp.maximum((e + E - 1) // E - s // E, 1)  # (NB,)
+    T = Lp // E + NB + 1  # static upper bound on total visits
+    cum = jnp.cumsum(k)
+    starts_t = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum[:-1]])
+    tt = jnp.arange(T, dtype=jnp.int32)
+    cb = jnp.searchsorted(cum, tt, side="right").astype(jnp.int32)
+    pad_visit = cb >= NB  # slack visits past the real schedule
+    cb = jnp.minimum(cb, NB - 1)
+    ci = ((s[cb] // E) + (tt - starts_t[cb].astype(jnp.int32))).astype(jnp.int32)
+    ci = jnp.clip(ci, 0, Lp // E - 1)
+    # first: 1 = zero the tile before accumulating; 2 = dead visit (pad slack
+    # revisiting the last bin — contributes nothing, never zeroes)
+    first = jnp.where(tt == starts_t[cb].astype(jnp.int32), 1, 0)
+    first = jnp.where(pad_visit, 2, first).astype(jnp.int32)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(NB,),
+        num_scalar_prefetch=4,  # cb, ci, first, bin_starts
+        grid=(T,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # v_sorted stays in HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # g_sorted stays in HBM
+            pl.BlockSpec((1, E), lambda t, cb, ci, first, bs: (0, ci[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, D), lambda t, cb, ci, first, bs: (ci[t], 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (block_rows, D), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
+            (block_rows, D), lambda t, cb, ci, first, bs: (cb[t], 0),
+            memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((1, chunk), jnp.int32),
-            pltpu.VMEM((chunk, D), g_sorted.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
     )
     return pl.pallas_call(
         partial(_kernel, block_rows=block_rows, chunk=chunk),
@@ -141,30 +149,33 @@ def binned_scatter_add_sorted(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(bin_starts, v_sorted, g_sorted)
+    )(cb, ci, first, bin_starts, v_grouped, g_grouped)
 
 
 def binned_scatter_add(
     g: jnp.ndarray,            # (L, D) grad rows in stream order
-    perm: jnp.ndarray,         # (L,) int32: v[perm] ascending
-    v_sorted: jnp.ndarray,     # (L,) int32 ascending slot ids
+    perm: jnp.ndarray,         # (L,) int32 grouping permutation
+    v_grouped: jnp.ndarray,    # (L,) int32 bin-grouped ids
     bin_starts: jnp.ndarray,   # (NB+1,) int32
     num_rows: int,
     block_rows: int = 256,
     chunk: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Full backward: reorder grads by the host-shipped permutation (vectorized
-    XLA row gather), pad, run the binned kernel, slice. Returns (num_rows, D)
-    f32 — equivalent to ``zeros((num_rows, D)).at[v].add(g)``."""
+    """Full backward: reorder grads by the host-shipped grouping permutation
+    (one vectorized XLA row gather, padded in the same gather via index clamp),
+    run the visit-scheduled kernel, slice. Returns (num_rows, D) f32 —
+    equivalent to ``zeros((num_rows, D)).at[ids].add(g)``."""
     L, D = g.shape
     NBR = _cdiv(num_rows, block_rows) * block_rows
-    Lp = _cdiv(L, chunk) * chunk + chunk  # chunk over-read never leaves the pad
-    g_sorted = jnp.take(g, perm, axis=0)
-    g_sorted = jnp.pad(g_sorted, ((0, Lp - L), (0, 0)))
-    v_pad = jnp.pad(v_sorted, (0, Lp - L), constant_values=NBR)
-    out = binned_scatter_add_sorted(
-        g_sorted,
+    Lp = _cdiv(L, chunk) * chunk
+    # pad + permute in ONE gather: out-of-range perm entries clamp to row 0,
+    # but their ids (pad value NBR) mask them out of every bin
+    perm_p = jnp.pad(perm, (0, Lp - L))
+    g_grouped = jnp.take(g, perm_p, axis=0, mode="clip")
+    v_pad = jnp.pad(v_grouped, (0, Lp - L), constant_values=NBR)
+    out = binned_scatter_add_grouped(
+        g_grouped,
         v_pad.reshape(1, Lp),
         bin_starts,
         NBR,
