@@ -51,7 +51,20 @@ def main():
             print(f"  {tag}: {dt:.2f} ms", flush=True)
             return dt
 
-        for dt_name in ("bf16", "f32"):
+        import jax.numpy as _jnp
+
+        @jax.jit
+        def take_only(g, perm):
+            return _jnp.take(g, perm, axis=0, mode="clip")
+
+        args_t = [
+            (jax.random.normal(jax.random.PRNGKey(i), (L, D), _jnp.float32
+             ).astype(_jnp.bfloat16), _jnp.asarray(p[0]))
+            for i, p in enumerate(plans)
+        ]
+        timeit(take_only, args_t, tag="take(g, perm) alone bf16")
+
+        for dt_name in ("bf16",):
             gdt = jnp.bfloat16 if dt_name == "bf16" else jnp.float32
 
             @jax.jit
@@ -75,13 +88,20 @@ def main():
                  jnp.asarray(p[2]), C)
                 for i, p in enumerate(plans)
             ]
-            timeit(
-                lambda g, perm, vsrt, bst, c: binned_scatter_add(
-                    g, perm, vsrt, bst, c
-                ),
-                args2,
-                tag=f"pallas binned {dt_name}",
-            )
+            for (R, E) in ((256, 512), (512, 2048), (1024, 4096), (2048, 8192)):
+                pl2 = [sort_plan_np(v, C, R) for v in vs]
+                args3 = [
+                    (a[0], jnp.asarray(p[0]), jnp.asarray(p[1]),
+                     jnp.asarray(p[2]), C)
+                    for a, p in zip(args2, pl2)
+                ]
+                timeit(
+                    (lambda R_, E_: lambda g, perm, vsrt, bst, c:
+                        binned_scatter_add(g, perm, vsrt, bst, c,
+                                           block_rows=R_, chunk=E_))(R, E),
+                    args3,
+                    tag=f"pallas binned {dt_name} R={R} E={E}",
+                )
 
 
 if __name__ == "__main__":

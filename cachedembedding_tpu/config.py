@@ -37,6 +37,12 @@ class CacheConfig:
     # gather 4x faster on TPU (256B rows hit XLA's vectorized gather) and halve
     # cache HBM; the host master table stays float32, update arithmetic runs in
     # f32 with one rounding per step, and pooling accumulates in f32.
+    ship_sort_perm: bool = False       # ship a per-iteration bin-grouping
+    # permutation with each window (hostops.sort_plan) and run the embedding
+    # backward as the Pallas binned MXU scatter-add (ops/binned_scatter.py)
+    # instead of XLA's scalar-rate scatter. Costs ~2 x id-block wire per
+    # window + ~4.5 ms/iter host sort (pipelined): right for real TPU-VM
+    # links, off for tunnel-class links where wire is wall time.
     stochastic_rounding: str = "auto"  # "auto" | "on" | "off" — stochastic
     # rounding of the per-step f32 update back into low-precision cache rows
     # (ops/rounding.py: pltpu.stochastic_round on TPU, exact emulation

@@ -160,12 +160,14 @@ def binned_scatter_add(
     num_rows: int,
     block_rows: int = 256,
     chunk: int = 512,
-    interpret: bool = False,
+    interpret: bool = None,
 ) -> jnp.ndarray:
     """Full backward: reorder grads by the host-shipped grouping permutation
     (one vectorized XLA row gather, padded in the same gather via index clamp),
     run the visit-scheduled kernel, slice. Returns (num_rows, D) f32 —
     equivalent to ``zeros((num_rows, D)).at[ids].add(g)``."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     L, D = g.shape
     NBR = _cdiv(num_rows, block_rows) * block_rows
     Lp = _cdiv(L, chunk) * chunk

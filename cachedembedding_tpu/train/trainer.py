@@ -199,7 +199,7 @@ def _scan_window(
     dense_params, cache_weight, xs,
     *, num_features, batch_size, pooling, mode, compute_dtype, use_pallas,
     sparse_grad, model="dlrm", optimizer="sgd", adagrad_eps=1e-10,
-    cache_accum=None, ragged=False, sr_seed=None,
+    cache_accum=None, ragged=False, sr_seed=None, plan=None,
 ):
     """``ragged=True`` scans (dense, padded values, per-bag lengths, labels,
     lrs): offsets rebuild on device from lengths and pad-tail values fall past
@@ -212,6 +212,9 @@ def _scan_window(
     small-LR accumulation fix. Dense-grad path only: the scatter-add path
     accumulates IN storage dtype, where per-addend rounding cannot be made
     unbiased."""
+    if plan is not None:
+        assert not ragged, "binned backward requires uniform windows"
+        xs = tuple(xs) + plan  # (perm, grouped ids, bin starts) per step
     if sr_seed is not None:
         assert not sparse_grad, "stochastic rounding requires the dense-grad path"
         P_steps = xs[0].shape[0]
@@ -226,6 +229,8 @@ def _scan_window(
             *xs, step_seed = xs
         else:
             step_seed = None
+        if plan is not None:
+            *xs, perm_p, grouped_p, bins_p = xs
         if optimizer == "rowwise_adagrad":
             dp, cw, acc = carry
         else:
@@ -246,7 +251,44 @@ def _scan_window(
                 values=v, offsets=None, num_features=num_features,
                 batch_size=batch_size, pooling=pooling,
             )
-        if sparse_grad:
+        if plan is not None:
+            # Binned MXU backward: rows-grad via autodiff (no scatter in the
+            # VJP — loss is a function of the gathered rows), then the
+            # host-planned Pallas binned scatter-add builds the full (C, D)
+            # grad at MXU rate and the update applies it in one f32 pass.
+            from cachedembedding_tpu.ops.binned_scatter import (
+                binned_scatter_add,
+            )
+
+            rows_p = jnp.take(cw, v, axis=0)
+
+            def loss_fn(dp_, rows):
+                F, B, Pl = num_features, batch_size, pooling
+                pooled = rows.reshape(F, B, Pl, -1).astype(jnp.float32)
+                pooled = (
+                    pooled.sum(axis=2) if mode == "sum" else pooled.mean(axis=2)
+                )
+                sparse_bfd = jnp.transpose(pooled, (1, 0, 2))
+                return _model_loss(model, dp_, d, sparse_bfd, compute_dtype, l)
+
+            loss, (g_dense, g_rows) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1)
+            )(dp, rows_p)
+            g32 = binned_scatter_add(
+                g_rows.astype(cw.dtype), perm_p, grouped_p, bins_p,
+                cw.shape[0],
+            )
+            if optimizer == "rowwise_adagrad":
+                acc = acc + jnp.mean(g32 * g32, axis=1)
+                g32 = g32 / (jnp.sqrt(acc) + adagrad_eps)[:, None]
+            new32 = cw.astype(jnp.float32) - slr * g32
+            if step_seed is not None:
+                from cachedembedding_tpu.ops.rounding import stochastic_astype
+
+                cw = stochastic_astype(new32, cw.dtype, step_seed)
+            else:
+                cw = new32.astype(cw.dtype)
+        elif sparse_grad:
             rows0 = jnp.take(cw, v, axis=0)
 
             if ragged:
@@ -536,6 +578,25 @@ def _train_window_packed(
         cache_weight, cache_accum, packed, c, layout[:9], seed, optimizer,
         adagrad_initial,
     )
+    plan = None
+    if len(layout) > 10 and layout[10]:
+        # bin-grouping plan blocks live at the END of the buffer
+        spw, gpw, nbp1 = layout[10], layout[11], layout[12]
+        per_iter = (L * spw) // 8 + (L * gpw) // 8 + nbp1 * 4
+        a0 = packed.shape[0] - P * per_iter
+        perms, groupeds, binses = [], [], []
+        for p_i in range(P):
+            o = a0 + p_i * per_iter
+            o2 = o + (L * spw) // 8
+            o3 = o2 + (L * gpw) // 8
+            perms.append(_unpack_flat(packed[o:o2], L, spw))
+            groupeds.append(_unpack_flat(packed[o2:o3], L, gpw))
+            binses.append(
+                jax.lax.bitcast_convert_type(
+                    packed[o3 : o3 + nbp1 * 4].reshape(nbp1, 4), jnp.int32
+                )
+            )
+        plan = (jnp.stack(perms), jnp.stack(groupeds), jnp.stack(binses))
     return _scan_window(
         dense_params, cache_weight,
         (dense_feats, slot_values, labels, sparse_lrs, dense_lrs),
@@ -543,7 +604,7 @@ def _train_window_packed(
         mode=mode, compute_dtype=jnp.dtype(compute_dtype_name),
         use_pallas=use_pallas, sparse_grad=sparse_grad, model=model,
         optimizer=optimizer, adagrad_eps=adagrad_eps, cache_accum=cache_accum,
-        sr_seed=sr_seed,
+        sr_seed=sr_seed, plan=plan,
     )
 
 
@@ -845,6 +906,7 @@ class CachedDLRMTrainer:
         # world-size scaling (the reference scales LR to compensate for
         # local-mean grads, /root/reference/recsys/dlrm_main.py:455-461 —
         # same effective update either way).
+        self._ship_plan = bool(getattr(cache_cfg, "ship_sort_perm", False))
         srm = cache_cfg.stochastic_rounding
         # fp8 rows stagnate under deterministic rounding at small LRs; the
         # fused-window dense-grad path rounds stochastically (ops/rounding.py)
@@ -1004,7 +1066,34 @@ class CachedDLRMTrainer:
                         acc = np.zeros((fb,), np.float32)
                         acc[: extras.fetch_accum.shape[0]] = extras.fetch_accum
                         parts.append(acc.view(np.uint8))
-            layout = (P, L, B, Din, dmode, id_width, sb, fb, fmode, lbits)
+            spw = gpw = nbp1 = 0
+            if (
+                getattr(self, "_ship_plan", False)
+                and self.mesh is None
+                and f0.pooling is not None
+            ):
+                # Bin-grouping plans for the Pallas binned MXU scatter-add
+                # backward (ops/binned_scatter.py): per iteration, a grouping
+                # permutation + grouped ids + bin element offsets. ~2x the id
+                # block of extra wire; pays for itself when the link is fast
+                # (config ship_sort_perm).
+                NR = self._device_rows()
+                nbp1 = -(-NR // 256) + 1
+                spw = hostops.nibble_width(L, L)
+                gpw = hostops.nibble_width(NR, L)
+                for p_i in range(P):
+                    perm, grouped, bins = hostops.sort_plan(
+                        slot_ids_np[p_i], NR, 256
+                    )
+                    parts += [
+                        hostops.pack_ids_any(perm, spw),
+                        hostops.pack_ids_any(grouped, gpw),
+                        bins.view(np.uint8),
+                    ]
+            layout = (
+                P, L, B, Din, dmode, id_width, sb, fb, fmode, lbits,
+                spw, gpw, nbp1,
+            )
             pw_out = extras if extras is not None else pw
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as PS
