@@ -71,6 +71,12 @@ def main() -> None:
                    help="force the scatter-add embedding-grad path (avoids the "
                         "dense full-table grad/update passes, which grow with "
                         "the mixed-kernel resident region)")
+    p.add_argument("--ship-sort-perm", action="store_true",
+                   help="ship per-iteration bin-grouping plans and run the "
+                        "embedding backward as the Pallas binned MXU "
+                        "scatter-add (ops/binned_scatter.py). Adds ~2x id "
+                        "wire per window: the right trade on a real TPU-VM "
+                        "host link; usually a loss on the tunnel")
     p.add_argument("--platform", choices=["default", "cpu"], default="default",
                    help="force the jax platform (cpu = validation runs; env "
                         "vars are too late because sitecustomize imports jax)")
@@ -166,6 +172,7 @@ def main() -> None:
             # (hash probe + row materialization) per swapped row.
             weight_init="virtual",
             transfer_dtype="bfloat16",
+            ship_sort_perm=args.ship_sort_perm,
             resident_threshold=0 if full_resident else args.resident_threshold,
         ),
     )

@@ -1078,12 +1078,13 @@ class CachedDLRMTrainer:
                 # block of extra wire; pays for itself when the link is fast
                 # (config ship_sort_perm).
                 NR = self._device_rows()
-                nbp1 = -(-NR // 256) + 1
+                nbp1 = -(-NR // 512) + 1  # kernel block_rows (sweet spot:
+                # onehot tile 512x2048 bf16 = 2 MB VMEM, ~460 visits)
                 spw = hostops.nibble_width(L, L)
                 gpw = hostops.nibble_width(NR, L)
                 for p_i in range(P):
                     perm, grouped, bins = hostops.sort_plan(
-                        slot_ids_np[p_i], NR, 256
+                        slot_ids_np[p_i], NR, 512
                     )
                     parts += [
                         hostops.pack_ids_any(perm, spw),
