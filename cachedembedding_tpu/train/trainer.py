@@ -1069,6 +1069,7 @@ class CachedDLRMTrainer:
             spw = gpw = nbp1 = 0
             if (
                 getattr(self, "_ship_plan", False)
+                and not getattr(self, "_plan_suspended", False)
                 and self.mesh is None
                 and f0.pooling is not None
             ):
@@ -1578,7 +1579,12 @@ class CachedDLRMTrainer:
             if not window:
                 drain()
                 return metrics.compute()
-            pw, sv = self._begin_window(window)
+            # forward-only windows never need the backward's grouping plans
+            self._plan_suspended = True
+            try:
+                pw, sv = self._begin_window(window)
+            finally:
+                self._plan_suspended = False
             if isinstance(sv, tuple) and sv[0] == "ragged":
                 self._finish_window(pw)
                 _, buf_dev, layout = sv
