@@ -50,6 +50,9 @@ def build(args, tables, dense_in):
         batch_size=args.batch_size,
         **arch,
         learning_rate=args.learning_rate,
+        change_lr=args.lr_after is not None,
+        lr_change_point=args.lr_change_point,
+        lr_after=args.lr_after if args.lr_after is not None else 0.2,
         compute_dtype=args.compute_dtype,
         # kaggle scale mirrors bench.py exactly so the A/B reuses its
         # compiled window signatures (remote compiles are minutes each)
@@ -64,6 +67,8 @@ def build(args, tables, dense_in):
             use_freq=args.use_freq,
             weight_init=args.weight_init,
             transfer_dtype="bfloat16",
+            cache_dtype=args.cache_dtype,
+            stochastic_rounding=args.stochastic_rounding,
             resident_threshold=500_000 if args.scale == "kaggle" else 0,
         ),
     )
@@ -85,6 +90,15 @@ def main():
     p.add_argument("--seed", type=int, default=1024)
     p.add_argument("--use_freq", action="store_true", default=True)
     p.add_argument("--auroc_tol", type=float, default=0.002)
+    p.add_argument("--cache_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16", "float8_e4m3fn"])
+    p.add_argument("--stochastic_rounding", default="auto",
+                   choices=["auto", "on", "off"])
+    p.add_argument("--lr_after", type=float, default=None,
+                   help="late-stage LR (enables change_lr): the fp8 "
+                        "stagnation regime the stochastic-rounding gate "
+                        "exercises")
+    p.add_argument("--lr_change_point", type=float, default=0.5)
     p.add_argument("--platform", choices=["default", "cpu"], default="default",
                    help="force the jax platform (env vars are too late: the "
                         "TPU sitecustomize imports jax first)")
