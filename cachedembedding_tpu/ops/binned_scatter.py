@@ -192,6 +192,125 @@ def binned_scatter_add(
     return out[:num_rows]
 
 
+def _visit_schedule(bin_starts, Lp, NB, E):
+    """Vectorized visit schedule from bin element offsets: (cb, ci, first,
+    last). flags: first=1 zero-acc, 2 = dead slack visit; last=1 emit tile."""
+    s = bin_starts[:-1]
+    e = bin_starts[1:]
+    k = jnp.maximum((e + E - 1) // E - s // E, 1)
+    T = Lp // E + NB + 1
+    cum = jnp.cumsum(k)
+    starts_t = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum[:-1]])
+    tt = jnp.arange(T, dtype=jnp.int32)
+    cb = jnp.searchsorted(cum, tt, side="right").astype(jnp.int32)
+    pad_visit = cb >= NB
+    cb = jnp.minimum(cb, NB - 1)
+    ci = ((s[cb] // E) + (tt - starts_t[cb].astype(jnp.int32))).astype(jnp.int32)
+    ci = jnp.clip(ci, 0, Lp // E - 1)
+    first = jnp.where(tt == starts_t[cb].astype(jnp.int32), 1, 0)
+    first = jnp.where(pad_visit, 2, first).astype(jnp.int32)
+    last = jnp.where(
+        (tt == (cum[cb] - 1).astype(jnp.int32)) & ~pad_visit, 1, 0
+    ).astype(jnp.int32)
+    return cb, ci, first, last, T
+
+
+def _kernel_sgd(cb_ref, ci_ref, first_ref, last_ref, bs_ref, v_blk, g_blk,
+                cw_blk, slr_ref, out_blk, acc, *, block_rows, chunk):
+    t = pl.program_id(0)
+    b = cb_ref[t]
+    start = bs_ref[b]
+    end = bs_ref[b + 1]
+    e0 = ci_ref[t] * chunk
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + e0
+    valid = (idx >= start) & (idx < end) & (first_ref[t] != 2)
+    local = jnp.where(valid, v_blk[...] - b * block_rows, -1)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_rows, chunk), 0) == local
+    ).astype(g_blk.dtype)
+    acc[...] += jax.lax.dot_general(
+        onehot,
+        g_blk[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(last_ref[t] == 1)
+    def _():
+        out_blk[...] = (
+            cw_blk[...].astype(jnp.float32) - slr_ref[0] * acc[...]
+        ).astype(out_blk.dtype)
+
+
+@partial(jax.jit, static_argnames=("block_rows", "chunk", "interpret"),
+         donate_argnames=("cw",))
+def binned_sgd_update(
+    cw: jnp.ndarray,           # (C, D) cache rows (any storage dtype)
+    g: jnp.ndarray,            # (L, D) row grads in stream order
+    perm: jnp.ndarray,         # (L,) int32 grouping permutation
+    v_grouped: jnp.ndarray,    # (L,) int32 bin-grouped ids
+    bin_starts: jnp.ndarray,   # (NB+1,) int32 over ceil(C/block_rows) bins
+    slr: jnp.ndarray,          # () f32 sparse LR
+    block_rows: int = 512,
+    chunk: int = 2048,
+    interpret: bool = None,
+) -> jnp.ndarray:
+    """FUSED backward + SGD: cw.at[ids].add(-slr * g) in one kernel pass —
+    no (C, D) f32 grad is ever materialized and no separate full-array update
+    pass runs (together those measure 10-17 ms/iter at C~900k on chip; this
+    kernel's traffic is one read + one write of cw plus the g stream). Per
+    bin: accumulate the one-hot matmuls into a VMEM f32 scratch tile, then
+    emit (cw_tile - slr*acc) once at the bin's last visit."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    C, D = cw.shape
+    L = g.shape[0]
+    E = chunk
+    R = block_rows
+    NB = _cdiv(C, R)
+    C_pad = NB * R
+    Lp = _cdiv(L, E) * E
+    perm_p = jnp.pad(perm, (0, Lp - L))
+    g_grouped = jnp.take(g, perm_p, axis=0, mode="wrap")
+    v_pad = jnp.pad(v_grouped, (0, Lp - L), constant_values=C_pad).reshape(1, Lp)
+    cw_pad = jnp.pad(cw, ((0, C_pad - C), (0, 0))) if C_pad != C else cw
+    cb, ci, first, last, T = _visit_schedule(bin_starts, Lp, NB, E)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,  # cb, ci, first, last, bin_starts
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, E), lambda t, cb, ci, fi, la, bs: (0, ci[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, D), lambda t, cb, ci, fi, la, bs: (ci[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, D), lambda t, cb, ci, fi, la, bs: (cb[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # slr (1,)
+        ],
+        out_specs=pl.BlockSpec(
+            (R, D), lambda t, cb, ci, fi, la, bs: (cb[t], 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((R, D), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        partial(_kernel_sgd, block_rows=R, chunk=E),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((C_pad, D), cw.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(cb, ci, first, last, bin_starts, v_pad, g_grouped, cw_pad,
+      slr.reshape(1).astype(jnp.float32))
+    return out[:C] if C_pad != C else out
+
+
 def sort_plan_np(v: np.ndarray, num_rows: int, block_rows: int = 512):
     """Host-side plan for one iteration's id stream: (perm, ids_grouped,
     bin_starts) — the stream stably grouped by (id // block_rows). Routed to

@@ -274,20 +274,36 @@ def _scan_window(
             loss, (g_dense, g_rows) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1)
             )(dp, rows_p)
-            g32 = binned_scatter_add(
-                g_rows.astype(cw.dtype), perm_p, grouped_p, bins_p,
-                cw.shape[0],
-            )
-            if optimizer == "rowwise_adagrad":
-                acc = acc + jnp.mean(g32 * g32, axis=1)
-                g32 = g32 / (jnp.sqrt(acc) + adagrad_eps)[:, None]
-            new32 = cw.astype(jnp.float32) - slr * g32
-            if step_seed is not None:
-                from cachedembedding_tpu.ops.rounding import stochastic_astype
+            if optimizer == "sgd" and step_seed is None:
+                # FUSED backward+optimizer: never materializes the (C, D) f32
+                # grad and runs no separate full-array update pass — the two
+                # biggest device costs of the dense path (10-17 ms/iter at
+                # C~900k measured; benchmark/microbench_resident.py)
+                from cachedembedding_tpu.ops.binned_scatter import (
+                    binned_sgd_update,
+                )
 
-                cw = stochastic_astype(new32, cw.dtype, step_seed)
+                cw = binned_sgd_update(
+                    cw, g_rows.astype(cw.dtype), perm_p, grouped_p, bins_p,
+                    slr,
+                )
             else:
-                cw = new32.astype(cw.dtype)
+                g32 = binned_scatter_add(
+                    g_rows.astype(cw.dtype), perm_p, grouped_p, bins_p,
+                    cw.shape[0],
+                )
+                if optimizer == "rowwise_adagrad":
+                    acc = acc + jnp.mean(g32 * g32, axis=1)
+                    g32 = g32 / (jnp.sqrt(acc) + adagrad_eps)[:, None]
+                new32 = cw.astype(jnp.float32) - slr * g32
+                if step_seed is not None:
+                    from cachedembedding_tpu.ops.rounding import (
+                        stochastic_astype,
+                    )
+
+                    cw = stochastic_astype(new32, cw.dtype, step_seed)
+                else:
+                    cw = new32.astype(cw.dtype)
         elif sparse_grad:
             rows0 = jnp.take(cw, v, axis=0)
 

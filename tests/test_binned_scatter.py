@@ -75,3 +75,39 @@ def test_empty_bins_and_unaligned_rows():
     # untouched rows must be exactly zero
     untouched = np.setdiff1d(np.arange(num_rows), np.unique(v))
     assert np.all(np.asarray(out)[untouched] == 0)
+
+
+@pytest.mark.parametrize("cw_dtype", ["float32", "bfloat16"])
+def test_fused_sgd_update(cw_dtype):
+    """binned_sgd_update == cw.at[v].add(-lr*g) with one storage rounding."""
+    import ml_dtypes
+
+    from cachedembedding_tpu.ops.binned_scatter import binned_sgd_update
+
+    rng = np.random.default_rng(3)
+    L, C, D = 3000, 1500, 128
+    v = rng.integers(0, C, size=(L,)).astype(np.int32)
+    g = rng.standard_normal((L, D)).astype(np.float32)
+    cw = rng.standard_normal((C, D)).astype(np.float32)
+    if cw_dtype == "bfloat16":
+        cw = cw.astype(ml_dtypes.bfloat16)
+    lr = 0.37
+    perm, grouped, bins = sort_plan_np(v, C)
+    out = binned_sgd_update(
+        jnp.asarray(cw), jnp.asarray(g), jnp.asarray(perm),
+        jnp.asarray(grouped), jnp.asarray(bins),
+        jnp.asarray(lr, jnp.float32), interpret=True,
+    )
+    ref = np.asarray(cw, np.float32) - lr * _scatter_ref(v, g, C)
+    np.testing.assert_allclose(
+        np.asarray(out.astype(jnp.float32)),
+        np.asarray(jnp.asarray(ref).astype(out.dtype).astype(jnp.float32)),
+        rtol=2e-2 if cw_dtype == "bfloat16" else 1e-5,
+        atol=1e-2 if cw_dtype == "bfloat16" else 1e-4,
+    )
+    # untouched rows pass through exactly
+    untouched = np.setdiff1d(np.arange(C), np.unique(v))
+    if untouched.size:
+        np.testing.assert_array_equal(
+            np.asarray(out)[untouched], np.asarray(cw)[untouched]
+        )
