@@ -50,6 +50,11 @@ class CacheConfig:
     # round-to-nearest stagnates under small late-stage LRs (sub-ulp updates
     # always snap back). Applies to the fused-window dense-grad path; forces
     # the dense-grad path when on.
+    escape_pack: bool = True           # escape-coded id wire format: learn
+    # per-feature NARROW base widths from the live stream (hot-ranked ids are
+    # small) + one window-level (pos, addr) escape list for the overflow tail.
+    # Learned over the first 12 windows, then frozen; falls back to the plain
+    # per-feature-width format on budget overflow. ~20-30% off the id wire.
     use_pallas_lookup: bool = False    # Pallas gather+pool kernel vs XLA take/segment-sum
     resident_threshold: int = 0        # MIXED-KERNEL execution: tables with
     # <= this many rows are kept fully HBM-resident (planner kernel HBM_FULL)

@@ -38,7 +38,11 @@ def bag_pool_uniform(
     Returns (B, F, D) — the layout DLRM's InteractionArch consumes
     (/root/reference/baselines/models/dlrm.py:99-101).
     """
-    rows = jnp.take(weight, ids_fbp, axis=0)  # (F, B, P, D)
+    # mode="wrap": ids are validated in [0, C) upstream (cache manager
+    # _translate_ids / directory plan), so wrap is an identity — but it keeps
+    # XLA on the vectorized-gather path (clip/fill emit per-row bounds checks:
+    # 4-7 ms vs ~1.2 ms at L=426k, D=128 bf16 on v5e).
+    rows = jnp.take(weight, ids_fbp, axis=0, mode="wrap")  # (F, B, P, D)
     if rows.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
         # 8-bit floats have no implicit promotion path; upcast right after
         # the gather (the rows were only fp8 for storage/bandwidth)
@@ -75,7 +79,8 @@ def bag_pool_ragged(
     returns (num_bags, D). Empty bags produce zeros (sum) — matching EmbeddingBag's
     include_last_offset semantics.
     """
-    rows = jnp.take(weight, values, axis=0)  # (L, D)
+    # mode="wrap": see bag_pool_uniform — in-range ids, vectorized gather.
+    rows = jnp.take(weight, values, axis=0, mode="wrap")  # (L, D)
     if rows.dtype != jnp.float32:
         rows = rows.astype(jnp.float32)  # accumulate ragged bags in f32
     if per_sample_weights is not None:

@@ -109,7 +109,9 @@ def _train_step(
     compute_dtype = jnp.dtype(compute_dtype_name)
 
     if sparse_grad:
-        rows0 = jnp.take(cache_weight, slot_features.values, axis=0)  # (L, D)
+        # wrap = identity for the validated in-range ids; keeps the gather
+        # vectorized (clip/fill cost 4-7 ms at this L — ops/embedding_bag.py)
+        rows0 = jnp.take(cache_weight, slot_features.values, axis=0, mode="wrap")  # (L, D)
 
         def loss_fn_rows(dp, rows):
             F, B = slot_features.num_features, slot_features.batch_size
@@ -127,7 +129,8 @@ def _train_step(
             dense_params, rows0
         )
         new_cache = cache_weight.at[slot_features.values].add(
-            (-sparse_lr * g_rows.astype(jnp.float32)).astype(cache_weight.dtype)
+            (-sparse_lr * g_rows.astype(jnp.float32)).astype(cache_weight.dtype),
+            mode="promise_in_bounds",  # ids validated upstream; skip clamps
         )
     else:
 
@@ -260,7 +263,7 @@ def _scan_window(
                 binned_scatter_add,
             )
 
-            rows_p = jnp.take(cw, v, axis=0)
+            rows_p = jnp.take(cw, v, axis=0, mode="wrap")
 
             def loss_fn(dp_, rows):
                 F, B, Pl = num_features, batch_size, pooling
@@ -305,7 +308,7 @@ def _scan_window(
                 else:
                     cw = new32.astype(cw.dtype)
         elif sparse_grad:
-            rows0 = jnp.take(cw, v, axis=0)
+            rows0 = jnp.take(cw, v, axis=0, mode="wrap")
 
             if ragged:
                 seg = feats.segment_ids()
@@ -338,7 +341,10 @@ def _scan_window(
             loss, (g_dense, g_rows) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
                 dp, rows0
             )
-            cw = cw.at[v].add((-slr * g_rows.astype(jnp.float32)).astype(cw.dtype))
+            cw = cw.at[v].add(
+                (-slr * g_rows.astype(jnp.float32)).astype(cw.dtype),
+                mode="promise_in_bounds",
+            )
         else:
 
             def loss_fn(dp_, cw_):
@@ -494,6 +500,16 @@ def _decode_window_ids(packed: jnp.ndarray, layout: tuple):
     width and resident features add a static address delta on device."""
     P, L, B = layout[0], layout[1], layout[2]
     id_spec = layout[5]
+    esc_budget = 0
+    if isinstance(id_spec, tuple) and id_spec and id_spec[0] == "esc":
+        # Escape-coded mixed-kernel format: per-feature base blocks at widths
+        # NARROWER than the feature's full address range (learned from the
+        # live stream: hot-ranked ids are small, so e.g. a 20-bit cached
+        # feature ships 12-bit base ids), plus ONE window-level escape list of
+        # (u32 flat position, u32 final device address) pairs overwriting the
+        # few ids that overflow their base width. Padding entries carry
+        # pos = P*L, dropped by the scatter.
+        _, id_spec, esc_budget = id_spec
     if isinstance(id_spec, tuple):
         # Per-feature blocks carry L//F elements each (= B * pooling), matching
         # the encoder's (P, F, Bf) layout — NOT B, which differs when pooling>1.
@@ -505,7 +521,18 @@ def _decode_window_ids(packed: jnp.ndarray, layout: tuple):
             v = _unpack_flat(packed[a : a + nb], P * Bf, w).reshape(P, Bf)
             cols.append(v + delta if delta else v)
             a += nb
-        return jnp.stack(cols, axis=1).reshape(P, L), a
+        v = jnp.stack(cols, axis=1).reshape(P, L)
+        if esc_budget:
+            ne = esc_budget
+            pos = jax.lax.bitcast_convert_type(
+                packed[a : a + 4 * ne].reshape(ne, 4), jnp.int32
+            )
+            val = jax.lax.bitcast_convert_type(
+                packed[a + 4 * ne : a + 8 * ne].reshape(ne, 4), jnp.int32
+            )
+            a += 8 * ne
+            v = v.reshape(P * L).at[pos].set(val, mode="drop").reshape(P, L)
+        return v, a
     a = P * {16: 2 * L, 20: 5 * (L // 2), 24: 3 * L, 32: 4 * L}[id_spec]
     return _unpack_ids(packed[:a], P, L, id_spec), a
 
@@ -933,6 +960,15 @@ class CachedDLRMTrainer:
         self._step_idx = 0
         self._lr_cache: dict = {}
         self._mesh_steps: dict = {}
+        # Escape-coded id wire format (see _escape_encode): learned from the
+        # live stream during the first _esc_learn_windows windows, then frozen
+        # so the jit layout stays stable.
+        self._escape_pack = bool(getattr(cache_cfg, "escape_pack", True))
+        self._esc_learn_windows = 12
+        self._esc_seen = 0
+        self._esc_counts = None   # (F, n_widths) counts of subsampled ids >= 2^w
+        self._esc_totals = 0      # subsampled ids per feature accumulated
+        self._esc_spec = None     # frozen ("esc", ((w, delta), ...), ne)
 
     # ------------------------------------------------------------------
     def _lrs(self, progress: float) -> tuple[float, float]:
@@ -946,6 +982,121 @@ class CachedDLRMTrainer:
         """Row count of the device embedding array (cache slots + mixed-kernel
         resident region) — the id range for pack-width and grad heuristics."""
         return int(getattr(self.embed, "device_rows", self.embed.capacity))
+
+    # -- escape-coded id wire format ----------------------------------------
+    # Hot-ranked ids are small: freq-warmup puts the hottest rows in the low
+    # cache slots and the synthetic/real long-tail streams hit the head almost
+    # always, so a 20-bit feature's ids fit 12 bits ~97% of the time. Shipping
+    # per-feature BASE blocks at a learned narrow width plus one window-level
+    # list of (flat position, full address) pairs for the overflows cuts the
+    # dominant id wire by another ~20-30% on top of per-feature widths.
+    _ESC_WIDTHS = (4, 8, 12, 16, 20, 24)
+    _ESC_SUB = 8          # learning subsample stride (stats only)
+    _ESC_MAX_RATE = 0.05  # never narrow a feature past 5% overflow
+    _ESC_BITS = 64        # wire cost of one escape entry (u32 pos + u32 val)
+
+    def _escape_encode(self, slot3: np.ndarray, spec, P: int, L: int, Bf: int):
+        """Encode the per-feature id blocks of one window. Returns
+        (ids_bytes, id_width_layout, expected_nbytes). While learning (first
+        _esc_learn_windows windows) and whenever the escape budget would
+        overflow, falls back to the plain per-feature-width format — both
+        layouts get compiled during warmup, so a rare fallback never triggers
+        a mid-run compile."""
+        from cachedembedding_tpu._native import hostops
+
+        n = P * Bf
+        if self._escape_pack and self._esc_spec is None:
+            sub = slot3[:, :, :: self._ESC_SUB]
+            F = len(spec)
+            if self._esc_counts is None:
+                self._esc_counts = np.zeros((F, len(self._ESC_WIDTHS)), np.int64)
+            for f, (w, delta) in enumerate(spec):
+                local = sub[:, f, :].reshape(-1)
+                if delta:
+                    local = local - delta
+                for k, wc in enumerate(self._ESC_WIDTHS):
+                    if wc >= w:
+                        break
+                    self._esc_counts[f, k] += int((local >= (1 << wc)).sum())
+            self._esc_totals += sub.shape[0] * sub.shape[2]
+            self._esc_seen += 1
+            if self._esc_seen >= self._esc_learn_windows:
+                self._freeze_escape_spec(spec, n)
+        if self._esc_spec:
+            out = self._try_escape_encode(slot3, P, L, Bf)
+            if out is not None:
+                return out
+        blocks = []
+        for f, (w, delta) in enumerate(spec):
+            v = slot3[:, f, :]
+            blocks.append(hostops.pack_ids_any(v - delta if delta else v, w))
+        return np.concatenate(blocks), spec, sum((n * w) // 8 for w, _ in spec)
+
+    def _freeze_escape_spec(self, plain_spec, n: int) -> None:
+        """Pick each feature's base width minimizing expected bits/id
+        (base width + overflow_rate * escape entry bits), then freeze the
+        layout. Sets _esc_spec to False when nothing narrows."""
+        tot = max(self._esc_totals, 1)
+        spec = []
+        exp_escapes = 0.0
+        for f, (w, delta) in enumerate(plain_spec):
+            best_w, best_cost = w, float(w)
+            for k, wc in enumerate(self._ESC_WIDTHS):
+                if wc >= w:
+                    break
+                rate = self._esc_counts[f, k] / tot
+                cost = wc + rate * self._ESC_BITS
+                if rate <= self._ESC_MAX_RATE and cost < best_cost:
+                    best_w, best_cost = wc, cost
+            if best_w < w:
+                k = self._ESC_WIDTHS.index(best_w)
+                exp_escapes += self._esc_counts[f, k] / tot * n
+            spec.append((best_w, delta))
+        if all(w == pw for (w, _), (pw, _) in zip(spec, plain_spec)):
+            self._esc_spec = False
+            return
+        ne = int(2.0 * exp_escapes) + 512
+        self._esc_plain_spec = tuple(plain_spec)
+        self._esc_spec = ("esc", tuple(spec), ne)
+
+    def _try_escape_encode(self, slot3: np.ndarray, P: int, L: int, Bf: int):
+        """Escape-format encode; None when the window's overflow count
+        exceeds the frozen budget (caller falls back to the plain format)."""
+        from cachedembedding_tpu._native import hostops
+
+        tag, spec, ne = self._esc_spec
+        n = P * Bf
+        blocks = []
+        pos_parts, val_parts = [], []
+        count = 0
+        for f, ((w, delta), (wp, _)) in enumerate(
+            zip(spec, self._esc_plain_spec)
+        ):
+            v = slot3[:, f, :]
+            local = (v - delta) if delta else v
+            if w < wp:
+                lim = 1 << w
+                over = local >= lim
+                cnt = int(over.sum())
+                if cnt:
+                    count += cnt
+                    if count > ne:
+                        return None
+                    pp, jj = np.nonzero(over)
+                    pos_parts.append(
+                        (pp.astype(np.int64) * L + f * Bf + jj).astype(np.uint32)
+                    )
+                    val_parts.append(np.ascontiguousarray(v[pp, jj], np.int32))
+                    local = local & (lim - 1)
+            blocks.append(hostops.pack_ids_any(local, w))
+        pos = np.full((ne,), P * L, np.uint32)
+        val = np.zeros((ne,), np.int32)
+        if count:
+            pos[:count] = np.concatenate(pos_parts)
+            val[:count] = np.concatenate(val_parts)
+        blocks += [pos.view(np.uint8), val.view(np.uint8)]
+        expect = sum((n * w) // 8 for w, _ in spec) + 8 * ne
+        return np.concatenate(blocks), self._esc_spec, expect
 
     def _begin_window(self, batches: List[Batch]):
         """Plan the window's cache maintenance (host directory / device state
@@ -1028,13 +1179,9 @@ class CachedDLRMTrainer:
             if spec is not None:
                 Bf = L // F
                 slot3 = slot_ids_np.reshape(P, F, Bf)
-                blocks = []
-                for f, (w, delta) in enumerate(spec):
-                    v = slot3[:, f, :]
-                    blocks.append(hostops.pack_ids_any(v - delta if delta else v, w))
-                ids_bytes = np.concatenate(blocks)
-                id_width = spec
-                expect = sum((P * Bf * w) // 8 for w, _ in spec)
+                ids_bytes, id_width, expect = self._escape_encode(
+                    slot3, spec, P, L, Bf
+                )
             else:
                 # Gate the pack width on L (the per-step id count), not P*L:
                 # 20-bit packing pairs ids over the flat stream, and the device
