@@ -1176,6 +1176,14 @@ class CachedDLRMTrainer:
                 spec = getattr(self.embed, "pf_pack_spec", lambda n: None)(
                     P * (L // F)
                 )
+                if spec is None and self._escape_pack and isinstance(
+                    self.embed, CachedEmbeddingBag
+                ):
+                    # All-cached bags have no per-feature width variation, but
+                    # their hot-ranked slot ids are still small — synthesize a
+                    # uniform spec so the escape format applies to them too.
+                    w = hostops.nibble_width(self._device_rows(), P * (L // F))
+                    spec = tuple((w, 0) for _ in range(F))
             if spec is not None:
                 Bf = L // F
                 slot3 = slot_ids_np.reshape(P, F, Bf)

@@ -63,6 +63,23 @@ def test_escape_pack_matches_plain():
     np.testing.assert_allclose(losses[False], losses[True], rtol=1e-6)
 
 
+def test_escape_pack_all_cached_matches_plain():
+    """resident_threshold=0 (all-cached bag): pf_pack_spec is None, so the
+    trainer synthesizes a uniform per-feature spec from the device row count
+    and the escape format still applies. Losses must match escape-off."""
+    losses = {}
+    for esc in (False, True):
+        cfg = _cfg(esc)
+        cfg.cache.resident_threshold = 0
+        trainer = CachedDLRMTrainer(cfg)
+        trainer._esc_learn_windows = 3
+        rep = trainer.train(_data(cfg, 16), num_iters=16)
+        losses[esc] = rep.losses
+        if esc:
+            assert trainer._esc_spec is not None, "spec never learned"
+    np.testing.assert_allclose(losses[False], losses[True], rtol=1e-6)
+
+
 def test_escape_encode_roundtrip_and_overflow():
     """Unit-level: _try_escape_encode + _decode_window_ids reproduce the ids
     exactly; an over-budget window returns None (plain fallback)."""
