@@ -42,6 +42,7 @@ from cachedembedding_tpu.cache.state import (
     plan_ids,
     remap_ids,
     scatter_admits,
+    scatter_admits_q4,
     scatter_admits_q8,
     slice_plan_indices,
 )
@@ -121,8 +122,9 @@ class WindowStaging(NamedTuple):
     synth_rows: np.ndarray    # (sb,) int32
     synth_bounds: np.ndarray  # (sb,) float32
     fetch_slots: np.ndarray   # (fb,) int32, -1 padded; fb == 0 when none
-    fetch_payload: np.ndarray  # (fb, D) in the transfer dtype (f32/bf16/int8)
-    fetch_scales: np.ndarray  # (fb,) f32 per-row scales (int8 transfers) or (0,)
+    fetch_payload: np.ndarray  # (fb, D) in the transfer dtype (f32/bf16/int8),
+    #                            or (fb, D//2) uint8 nibble pairs (int4)
+    fetch_scales: np.ndarray  # (fb,) f32 per-row scales (int8/int4) or (0,)
     fetch_accum: np.ndarray   # (fb,) f32 optimizer state (rowwise adagrad) or (0,)
     admit_slots: np.ndarray   # (n_miss,) full plan arrays for the writebacks
     evict_rows: np.ndarray    # (n_miss,)
@@ -154,6 +156,18 @@ def _quant_rows_host(rows: np.ndarray):
     scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
     q = np.clip(np.round(rows / scale[:, None]), -127, 127).astype(np.int8)
     return q, scale
+
+
+def _quant_rows_host4(rows: np.ndarray):
+    """Per-row symmetric 4-bit quantization, nibble-packed in element pairs
+    (element 2k in the low nibble), biased by 8 so the stored nibble is in
+    [1, 15]. Quarter the admit wire of f32; device dequantizes with the
+    per-row f32 scale. Gated by the AUROC-retention tests / scripts/run_ab.py."""
+    rows = np.asarray(rows, np.float32)
+    absmax = np.abs(rows).max(axis=1)
+    scale = np.where(absmax > 0, absmax / 7.0, 1.0).astype(np.float32)
+    q = (np.clip(np.round(rows / scale[:, None]), -7, 7) + 8).astype(np.uint8)
+    return (q[:, 0::2] | (q[:, 1::2] << 4)).astype(np.uint8), scale
 
 
 def default_table_init(
@@ -411,8 +425,10 @@ class CachedEmbeddingBag:
         self.cache_op = True
         self._async = False
         self._pending_wb: list = []  # deferred eviction writebacks (not yet submitted)
-        if transfer_dtype not in ("float32", "bfloat16", "int8"):
+        if transfer_dtype not in ("float32", "bfloat16", "int8", "int4"):
             raise ValueError(transfer_dtype)
+        if transfer_dtype == "int4" and embedding_dim % 2:
+            raise ValueError("int4 transfers require an even embedding_dim")
         self.transfer_mode = transfer_dtype
         self._transfer_bf16 = transfer_dtype == "bfloat16"
         # Async writeback drain: the device->host readback of evicted rows runs
@@ -814,14 +830,19 @@ class CachedEmbeddingBag:
         empty_f = np.zeros((0,), np.float32)
         pay_dt = {
             "float32": np.float32, "bfloat16": ml_dtypes.bfloat16,
-            "int8": np.int8,
+            "int8": np.int8, "int4": np.uint8,
         }[self.transfer_mode]
+        pay_cols = (
+            self.embedding_dim // 2
+            if self.transfer_mode == "int4"
+            else self.embedding_dim
+        )
         if n_miss == 0:
             return WindowStaging(
                 slot_ids=slot_full.reshape(out_shape),
                 synth_slots=empty_i, synth_rows=empty_i, synth_bounds=empty_f,
                 fetch_slots=empty_i,
-                fetch_payload=np.zeros((0, self.embedding_dim), pay_dt),
+                fetch_payload=np.zeros((0, pay_cols), pay_dt),
                 fetch_scales=empty_f,
                 fetch_accum=empty_f,
                 admit_slots=hp.admit_slots, evict_rows=hp.evict_rows,
@@ -874,6 +895,8 @@ class CachedEmbeddingBag:
                 )
             if self.transfer_mode == "int8":
                 fetch_payload, fetch_scales = _quant_rows_host(vals)
+            elif self.transfer_mode == "int4":
+                fetch_payload, fetch_scales = _quant_rows_host4(vals)
             else:
                 fetch_payload = vals.astype(pay_dt) if vals.dtype != pay_dt else vals
                 fetch_scales = empty_f
@@ -881,7 +904,7 @@ class CachedEmbeddingBag:
             self.stats.swap_in_time += time.perf_counter() - t0
         else:
             fetch_slots = empty_i
-            fetch_payload = np.zeros((0, self.embedding_dim), pay_dt)
+            fetch_payload = np.zeros((0, pay_cols), pay_dt)
             fetch_scales = empty_f
             fetch_accum = empty_f
         return WindowStaging(
@@ -1020,6 +1043,11 @@ class CachedEmbeddingBag:
                 if self.transfer_mode == "int8":
                     q, scales = _quant_rows_host(vals)
                     self.cache_weight = scatter_admits_q8(
+                        self.cache_weight, slots_dev, jnp.array(q), jnp.array(scales)
+                    )
+                elif self.transfer_mode == "int4":
+                    q, scales = _quant_rows_host4(vals)
+                    self.cache_weight = scatter_admits_q4(
                         self.cache_weight, slots_dev, jnp.array(q), jnp.array(scales)
                     )
                 else:

@@ -292,6 +292,25 @@ def scatter_admits_q8(
 
 
 @partial(jax.jit, donate_argnames=("cache_weight",))
+def scatter_admits_q4(
+    cache_weight: jnp.ndarray,
+    slots: jnp.ndarray,
+    packed: jnp.ndarray,  # (n, D//2) uint8 nibble pairs (low nibble = elem 2k)
+    scales: jnp.ndarray,  # (n,) f32
+) -> jnp.ndarray:
+    """Land 4-bit-quantized admitted rows (biased-by-8 nibbles, dequantized
+    on device with the per-row scale)."""
+    C, D = cache_weight.shape
+    n = packed.shape[0]
+    u = packed.astype(jnp.int32)
+    q = jnp.stack([(u & 0xF) - 8, (u >> 4) - 8], axis=-1).reshape(n, D)
+    vals = q.astype(jnp.float32) * scales[:, None]
+    return cache_weight.at[jnp.where(slots >= 0, slots, C)].set(
+        vals.astype(cache_weight.dtype), mode="drop"
+    )
+
+
+@partial(jax.jit, donate_argnames=("cache_weight",))
 def scatter_admits(
     cache_weight: jnp.ndarray, slots: jnp.ndarray, values: jnp.ndarray
 ) -> jnp.ndarray:

@@ -32,7 +32,9 @@ class CacheConfig:
     # (jitted state machine) | "auto" — see cache/host_directory.py
     approx_evict: bool = False         # use approx_min_k for victim selection
     weight_init: str = "uniform"       # host table init: "uniform" | "zeros" | "virtual"
-    transfer_dtype: str = "float32"    # host<->HBM row payload dtype ("bfloat16" halves traffic)
+    transfer_dtype: str = "float32"    # host<->HBM admit payload: bfloat16 /
+    # int8 / int4 cut fetch wire 2x/4x/8x (writebacks stay >= bf16; int8/int4
+    # are AUROC-gated — tests/test_cache.py, scripts/run_ab.py)
     cache_dtype: str = "bfloat16"      # HBM cache-row storage dtype. bf16 rows
     # gather 4x faster on TPU (256B rows hit XLA's vectorized gather) and halve
     # cache HBM; the host master table stays float32, update arithmetic runs in

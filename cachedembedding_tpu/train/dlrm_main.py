@@ -57,7 +57,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--use_lfu", action="store_true")
     p.add_argument("--use_overlap", action="store_true")
     p.add_argument("--prefetch_num", type=int, default=1)
-    p.add_argument("--transfer_dtype", choices=["float32", "bfloat16", "int8"],
+    p.add_argument("--transfer_dtype",
+                   choices=["float32", "bfloat16", "int8", "int4"],
                    default="float32",
                    help="host<->HBM row payload dtype; int8 = per-row symmetric "
                         "quantization, 129B/row on the wire vs 258 (bf16) / 516 (f32)")

@@ -69,10 +69,20 @@ def _apply_admits_sharded(
             cache_accum = cache_accum.at[safe].set(adagrad_initial, mode="drop")
     if fb:
         f0, f1 = c, c + 4 * fb
-        fsize = {"float32": 4, "bfloat16": 2, "int8": 1}[fmode]
-        c2 = f1 + fb * d_full * fsize
+        fsize = {"float32": 4, "bfloat16": 2, "int8": 1, "int4": 1}[fmode]
+        c2 = f1 + (fb * d_full // 2 if fmode == "int4" else fb * d_full * fsize)
         f_slots = jax.lax.bitcast_convert_type(packed[f0:f1].reshape(fb, 4), jnp.int32)
-        if fmode == "int8":
+        if fmode == "int4":
+            u = packed[f1:c2].reshape(fb, d_full // 2).astype(jnp.int32)
+            q = jnp.stack(
+                [(u & 0xF) - 8, (u >> 4) - 8], axis=-1
+            ).reshape(fb, d_full)
+            scales = jax.lax.bitcast_convert_type(
+                packed[c2 : c2 + 4 * fb].reshape(fb, 4), jnp.float32
+            )
+            c2 = c2 + 4 * fb
+            payload = q.astype(jnp.float32) * scales[:, None]
+        elif fmode == "int8":
             q = jax.lax.bitcast_convert_type(
                 packed[f1:c2].reshape(fb, d_full, 1), jnp.int8
             ).reshape(fb, d_full)

@@ -48,6 +48,8 @@ from cachedembedding_tpu.utils.metrics import StreamingMetrics
 
 def _fetch_mode(payload: np.ndarray) -> str:
     """Static wire format of the fetched-admit payload block."""
+    if payload.dtype == np.uint8:
+        return "int4"  # nibble-packed pairs, (fb, D//2) bytes
     if payload.dtype == np.int8:
         return "int8"
     if payload.dtype == ml_dtypes.bfloat16:
@@ -411,10 +413,19 @@ def _apply_packed_admits(cache_weight, cache_accum, packed, c, layout, seed,
             cache_accum = cache_accum.at[safe].set(adagrad_initial, mode="drop")
     if fb:
         f0, f1 = c, c + 4 * fb
-        fsize = {"float32": 4, "bfloat16": 2, "int8": 1}[fmode]
-        c2 = f1 + fb * D * fsize
+        fsize = {"float32": 4, "bfloat16": 2, "int8": 1, "int4": 1}[fmode]
+        c2 = f1 + (fb * D // 2 if fmode == "int4" else fb * D * fsize)
         f_slots = jax.lax.bitcast_convert_type(packed[f0:f1].reshape(fb, 4), jnp.int32)
-        if fmode == "int8":
+        if fmode == "int4":
+            # nibble-packed pairs (element 2k in the low nibble), biased by 8
+            u = packed[f1:c2].reshape(fb, D // 2).astype(jnp.int32)
+            q = jnp.stack([(u & 0xF) - 8, (u >> 4) - 8], axis=-1).reshape(fb, D)
+            scales = jax.lax.bitcast_convert_type(
+                packed[c2 : c2 + 4 * fb].reshape(fb, 4), jnp.float32
+            )
+            c2 = c2 + 4 * fb
+            payload = q.astype(jnp.float32) * scales[:, None]
+        elif fmode == "int8":
             q = jax.lax.bitcast_convert_type(
                 packed[f1:c2].reshape(fb, D, 1), jnp.int8
             ).reshape(fb, D)
@@ -1231,7 +1242,7 @@ class CachedDLRMTrainer:
                         extras.fetch_slots.view(np.uint8),
                         np.ascontiguousarray(extras.fetch_payload).reshape(-1).view(np.uint8),
                     ]
-                    if fmode == "int8":
+                    if fmode in ("int8", "int4"):
                         parts.append(extras.fetch_scales.view(np.uint8))
                     if getattr(self.embed, "cache_accum", None) is not None:
                         acc = np.zeros((fb,), np.float32)
@@ -1406,7 +1417,7 @@ class CachedDLRMTrainer:
                 ws.fetch_slots.view(np.uint8),
                 np.ascontiguousarray(ws.fetch_payload).reshape(-1).view(np.uint8),
             ]
-            if fmode == "int8":
+            if fmode in ("int8", "int4"):
                 parts.append(ws.fetch_scales.view(np.uint8))
             if getattr(self.embed, "cache_accum", None) is not None:
                 acc = np.zeros((fb,), np.float32)

@@ -66,7 +66,7 @@ def build(args, tables, dense_in):
             use_lfu_eviction=not args.use_freq,
             use_freq=args.use_freq,
             weight_init=args.weight_init,
-            transfer_dtype="bfloat16",
+            transfer_dtype=args.transfer_dtype,
             cache_dtype=args.cache_dtype,
             stochastic_rounding=args.stochastic_rounding,
             resident_threshold=500_000 if args.scale == "kaggle" else 0,
@@ -92,6 +92,10 @@ def main():
     p.add_argument("--auroc_tol", type=float, default=0.002)
     p.add_argument("--cache_dtype", default="bfloat16",
                    choices=["float32", "bfloat16", "float8_e4m3fn"])
+    p.add_argument("--transfer_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16", "int8", "int4"],
+                   help="admit-payload wire format (the AUROC gate for the "
+                        "int8/int4 swap-compression levers)")
     p.add_argument("--stochastic_rounding", default="auto",
                    choices=["auto", "on", "off"])
     p.add_argument("--lr_after", type=float, default=None,

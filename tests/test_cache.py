@@ -273,8 +273,31 @@ def test_int8_transfer_quant_roundtrip():
     assert (np.abs(back - rows) <= bound + 1e-6).all()
 
 
+def test_q4_roundtrip_and_scatter():
+    """int4 admit payloads: host quantize -> device dequant lands rows within
+    the 4-bit error bound (absmax/14 per element)."""
+    import jax.numpy as jnp
+
+    from cachedembedding_tpu.cache.manager import _quant_rows_host4
+    from cachedembedding_tpu.cache.state import scatter_admits_q4
+
+    rng = np.random.default_rng(5)
+    rows = (rng.standard_normal((64, 16)) * rng.uniform(0.01, 3, (64, 1))).astype(
+        np.float32
+    )
+    rows[7] = 0.0  # all-zero row: scale guard
+    packed, scales = _quant_rows_host4(rows)
+    assert packed.shape == (64, 8) and packed.dtype == np.uint8
+    cw = scatter_admits_q4(
+        jnp.zeros((64, 16), jnp.float32),
+        jnp.arange(64, dtype=jnp.int32), jnp.asarray(packed), jnp.asarray(scales),
+    )
+    bound = (np.abs(rows).max(axis=1) / 14.0 + 1e-8)[:, None]
+    assert (np.abs(np.asarray(cw) - rows) <= bound + 1e-6).all()
+
+
 def test_int8_transfer_trains_with_evictions():
-    """transfer_dtype=int8 halves swap wire; training through eviction/
+    """transfer_dtype=int8/int4 cut swap wire 4x/8x; training through eviction/
     re-admission cycles must retain the AUROC lift of the f32 transfer path."""
     from cachedembedding_tpu.config import CacheConfig, DLRMConfig
     from cachedembedding_tpu.data.synthetic import SyntheticLongTailDataset
@@ -282,7 +305,7 @@ def test_int8_transfer_trains_with_evictions():
 
     tables = [1000, 2000, 500, 300]
     aurocs = {}
-    for mode in ("float32", "int8"):
+    for mode in ("float32", "int8", "int4"):
         cfg = DLRMConfig(
             num_embeddings_per_feature=tables,
             embedding_dim=16,
@@ -307,9 +330,10 @@ def test_int8_transfer_trains_with_evictions():
         rep = trainer.train(data, num_iters=30)
         assert np.isfinite(rep.losses).all()
         aurocs[mode] = trainer.evaluate(eval_data)["auroc"]
-        # churn actually happened (re-admission fetches carried int8 payloads)
+        # churn actually happened (re-admission fetches carried quantized payloads)
         assert trainer.embed.stats.swap_in_bytes > 0
     assert aurocs["int8"] > aurocs["float32"] - 0.01, aurocs
+    assert aurocs["int4"] > aurocs["float32"] - 0.01, aurocs
 
 
 def test_fp8_cache_rows_retain_auroc():

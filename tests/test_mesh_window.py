@@ -70,11 +70,11 @@ def test_mesh_window_adagrad_matches_single_chip():
     np.testing.assert_allclose(ev1["auroc"], ev2["auroc"], atol=2e-3)
 
 
-@pytest.mark.parametrize("transfer", ["float32", "int8"])
+@pytest.mark.parametrize("transfer", ["float32", "int8", "int4"])
 def test_mesh_window_evictions(transfer):
     """Small cache: the mesh window must carry synth + fetched admits and
-    eviction writebacks (incl. int8-quantized payloads) through the sharded
-    cache without corruption."""
+    eviction writebacks (incl. int8/int4-quantized payloads) through the
+    sharded cache without corruption."""
     tables = [2000, 1000]
     ckw = dict(cache_ratio=0.25, transfer_dtype=transfer)
     cfg = _cfg(tables, 128, cache_kw=ckw)
