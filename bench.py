@@ -90,12 +90,35 @@ def main() -> None:
                         "(ceiling 61.7 vs 48.1 it/s; the window program costs "
                         "~0.8 ms/iter per 100k resident rows, cause open) — "
                         "the winner on fast local links.")
+    p.add_argument("--init-timeout", type=int, default=600,
+                   help="abort if the TPU backend has not initialized within "
+                        "this many seconds. The tunneled PJRT client can hang "
+                        "INDEFINITELY inside make_c_api_client when the "
+                        "tunnel is down (observed 2026-08-17); a fast clean "
+                        "failure beats wedging the caller. Compiles are NOT "
+                        "under this clock — only device discovery.")
     args = p.parse_args()
 
     import jax
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # Watchdog: backend init (device discovery) must finish in time.
+        # A hung make_c_api_client cannot be interrupted from Python, so the
+        # only safe abort is process exit from a watcher thread.
+        import os
+        import threading
+
+        init_done = threading.Event()
+
+        def _watch():
+            if not init_done.wait(args.init_timeout):
+                log(f"FATAL: TPU backend init exceeded {args.init_timeout}s "
+                    "(tunnel down?) — aborting")
+                os._exit(17)
+
+        threading.Thread(target=_watch, daemon=True).start()
     # Persistent compilation cache: first compiles cost 10-40s each over the
     # remote-compile tunnel; repeated bench invocations reuse them.
     try:
@@ -105,6 +128,8 @@ def main() -> None:
         pass
 
     log(f"devices: {jax.devices()}")
+    if args.platform != "cpu":
+        init_done.set()
 
     from cachedembedding_tpu.config import (
         CRITEO_KAGGLE_NUM_EMBEDDINGS_PER_FEATURE,
