@@ -138,8 +138,10 @@ def build_mesh_window_train(
     sparse_grad: bool = False,
 ):
     """Returns step(dense_params, cache_weight, cache_accum, packed,
-    dense_feats, labels, sparse_lrs, dense_lrs, seed)
-    -> (dense_params, cache_weight, cache_accum, (P,) losses)."""
+    dense_feats, dense_meta, labels, sparse_lrs, dense_lrs, seed)
+    -> (dense_params, cache_weight, cache_accum, (P,) losses).
+    ``dense_meta`` is the (scale, lo) f32 pair for int8 dense wire (ignored —
+    ship (1, 0) — for f32/bf16 dense)."""
     from cachedembedding_tpu.train.trainer import _model_loss
 
     P_, L, B, Din, dmode, id_width, sb, fb, fmode = layout[:9]
@@ -149,7 +151,7 @@ def build_mesh_window_train(
     compute_dtype = jnp.dtype(compute_dtype_name)
 
     def inner(dense_params, cache_shard, cache_accum, packed, dense_feats,
-              labels, sparse_lrs, dense_lrs, seed):
+              dense_meta, labels, sparse_lrs, dense_lrs, seed):
         slot_values, a = _decode_window_ids(packed, layout)  # (P, L) replicated
         cache_shard, cache_accum = _apply_admits_sharded(
             cache_shard, cache_accum, packed, a, layout, seed, d_full,
@@ -163,6 +165,11 @@ def build_mesh_window_train(
                 dp, cw = carry
                 acc = None
             d_local, v, l_local, slr, dlr = xs
+            if dmode == "int8":
+                # range-scaled uint8 dense wire (same format as single-chip)
+                d_local = (
+                    d_local.astype(jnp.float32) * dense_meta[0] + dense_meta[1]
+                )
 
             feats = RaggedFeatures(
                 values=v, offsets=None, num_features=num_features,
@@ -241,6 +248,7 @@ def build_mesh_window_train(
             P(),              # cache_accum replicated (row-wise state)
             P(),              # packed buffer replicated
             P(None, AXIS),    # dense (P, B, Din) batch-sharded
+            P(),              # dense int8 dequant meta (scale, lo) replicated
             P(None, AXIS),    # labels (P, B) batch-sharded
             P(), P(), P(),
         ),
@@ -266,8 +274,8 @@ def build_mesh_window_eval(
     adagrad_initial: float = 0.0,
 ):
     """Forward-only fused mesh window. Returns step(dense_params, cache_weight,
-    cache_accum, packed, dense_feats, seed) -> (cache_weight, cache_accum,
-    (P, B) probabilities)."""
+    cache_accum, packed, dense_feats, dense_meta, seed) -> (cache_weight,
+    cache_accum, (P, B) probabilities)."""
     from cachedembedding_tpu.train.trainer import _model_probs
 
     P_, L, B, Din, dmode, id_width, sb, fb, fmode = layout[:9]
@@ -275,7 +283,8 @@ def build_mesh_window_eval(
     b_local = batch_size // w
     compute_dtype = jnp.dtype(compute_dtype_name)
 
-    def inner(dense_params, cache_shard, cache_accum, packed, dense_feats, seed):
+    def inner(dense_params, cache_shard, cache_accum, packed, dense_feats,
+              dense_meta, seed):
         slot_values, a = _decode_window_ids(packed, layout)
         cache_shard, cache_accum = _apply_admits_sharded(
             cache_shard, cache_accum, packed, a, layout, seed, d_full,
@@ -283,6 +292,10 @@ def build_mesh_window_eval(
         )
 
         def score(d_local, v):
+            if dmode == "int8":
+                d_local = (
+                    d_local.astype(jnp.float32) * dense_meta[0] + dense_meta[1]
+                )
             feats = RaggedFeatures(
                 values=v, offsets=None, num_features=num_features,
                 batch_size=batch_size, pooling=pooling,
@@ -297,7 +310,7 @@ def build_mesh_window_eval(
     mapped = jax.shard_map(
         inner,
         mesh=mesh,
-        in_specs=(P(), P(None, AXIS), P(), P(), P(None, AXIS), P()),
+        in_specs=(P(), P(None, AXIS), P(), P(), P(None, AXIS), P(), P()),
         out_specs=(P(None, AXIS), P(), P(None, AXIS)),
         check_vma=False,
     )

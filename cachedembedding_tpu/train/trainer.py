@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import dataclasses
 import time
-import warnings
 from functools import partial
 from typing import Iterable, List, Optional
 
@@ -1287,27 +1286,34 @@ class CachedDLRMTrainer:
                 rep = NamedSharding(self.mesh, PS())
                 shd = NamedSharding(self.mesh, PS(None, AXIS))  # batch axis 1
                 buf_dev = jax.device_put(np.concatenate(parts), rep)
-                if dmode == "int8" and not getattr(self, "_warned_mesh_int8", False):
-                    # The mesh step fn has no dequant path; shipping bf16 keeps
-                    # the wire halved vs f32 without silently changing numerics
-                    # relative to what the config promised.
-                    warnings.warn(
-                        "dense_input_dtype='int8' is not supported in mesh mode; "
-                        "dense features ship as bfloat16 instead"
+                if dmode == "int8":
+                    # same range-scaled uint8 wire as the single-chip packed
+                    # path; the (scale, lo) meta ships replicated and the mesh
+                    # step dequantizes per element.
+                    raw = np.stack(
+                        [np.asarray(b.dense_features, np.float32) for b in batches]
                     )
-                    self._warned_mesh_int8 = True
-                ddt = np.float32 if dmode == "float32" else ml_dtypes.bfloat16
-                dense_dev = jax.device_put(
-                    np.stack([np.asarray(b.dense_features, ddt) for b in batches]),
-                    shd,
-                )
+                    lo_ = float(raw.min())
+                    scale = (float(raw.max()) - lo_) / 255.0 or 1.0
+                    dense_np = np.round((raw - lo_) / scale).astype(np.uint8)
+                    dmeta_np = np.array([scale, lo_], np.float32)
+                else:
+                    ddt = np.float32 if dmode == "float32" else ml_dtypes.bfloat16
+                    dense_np = np.stack(
+                        [np.asarray(b.dense_features, ddt) for b in batches]
+                    )
+                    dmeta_np = np.array([1.0, 0.0], np.float32)
+                dense_dev = jax.device_put(dense_np, shd)
+                dmeta_dev = jax.device_put(dmeta_np, rep)
                 labels_dev = jax.device_put(
                     np.stack(
                         [np.asarray(b.labels, np.float32) for b in batches]
                     ),
                     shd,
                 )
-                return pw_out, ("mesh", buf_dev, layout, dense_dev, labels_dev)
+                return pw_out, (
+                    "mesh", buf_dev, layout, dense_dev, labels_dev, dmeta_dev
+                )
             buf_dev = jax.device_put(np.concatenate(parts))
             return pw_out, ("packed", buf_dev, layout)
         if self.mesh is not None:
@@ -1468,7 +1474,7 @@ class CachedDLRMTrainer:
             common["optimizer"] = "rowwise_adagrad"
             common["adagrad_eps"] = cfg.adagrad_eps
         if isinstance(window_input, tuple) and window_input[0] == "mesh":
-            _, buf_dev, layout, dense_dev, labels_dev = window_input
+            _, buf_dev, layout, dense_dev, labels_dev, dmeta_dev = window_input
             L = layout[1]
             sparse_grad = accum is None and (
                 cfg.use_sparse_embed_grad or self._device_rows() > 4 * L
@@ -1498,8 +1504,8 @@ class CachedDLRMTrainer:
             self.dense_params, new_cache, new_accum, losses = self._mesh_steps[key](
                 self.dense_params, self.embed.cache_weight,
                 accum if accum is not None else jnp.zeros((0,), jnp.float32),
-                buf_dev, dense_dev, labels_dev, sparse_lrs, dense_lrs,
-                getattr(self.embed, "_seed_u32", jnp.uint32(0)),
+                buf_dev, dense_dev, dmeta_dev, labels_dev, sparse_lrs,
+                dense_lrs, getattr(self.embed, "_seed_u32", jnp.uint32(0)),
             )
             if accum is not None:
                 self.embed.set_accum(new_accum)
@@ -1812,7 +1818,7 @@ class CachedDLRMTrainer:
                 continue
             if sv[0] == "mesh":
                 self._finish_window(pw)
-                _, buf_dev, layout, dense_dev, _labels_dev = sv
+                _, buf_dev, layout, dense_dev, _labels_dev, dmeta_dev = sv
                 accum = getattr(self.embed, "cache_accum", None)
                 key = ("eval", layout)
                 if key not in self._mesh_steps:
@@ -1838,7 +1844,7 @@ class CachedDLRMTrainer:
                 new_cache, new_accum, probs = self._mesh_steps[key](
                     self.dense_params, self.embed.cache_weight,
                     accum if accum is not None else jnp.zeros((0,), jnp.float32),
-                    buf_dev, dense_dev,
+                    buf_dev, dense_dev, dmeta_dev,
                     getattr(self.embed, "_seed_u32", jnp.uint32(0)),
                 )
                 self.embed.set_param(new_cache)

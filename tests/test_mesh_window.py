@@ -91,6 +91,20 @@ def test_mesh_window_evictions(transfer):
     np.testing.assert_allclose(report2.losses, report.losses, rtol=2e-4)
 
 
+def test_mesh_window_int8_dense_matches_single_chip():
+    """dense_input_dtype='int8' in mesh mode: the uint8 dense wire + replicated
+    (scale, lo) meta must reproduce the single-chip int8 path exactly (same
+    quantization, so identical losses) — closing the former silent-bf16
+    fallback (ADVICE r2)."""
+    tables = [700, 300]
+    kw = dict(dense_input_dtype="int8")
+    losses1, ev1 = _run(_cfg(tables, 256, **kw), tables, mesh=None)
+    mesh = make_mesh(len(jax.devices()))
+    losses2, ev2 = _run(_cfg(tables, 256, **kw), tables, mesh=mesh)
+    np.testing.assert_allclose(losses1, losses2, rtol=2e-4)
+    np.testing.assert_allclose(ev1["auroc"], ev2["auroc"], atol=2e-3)
+
+
 def test_mesh_window_gather_scatter_fused_op():
     tables = [700, 300]
     cfg = _cfg(tables, 256, fused_op="gather_scatter")
