@@ -80,6 +80,31 @@ def test_prefetch_equivalence():
     np.testing.assert_allclose(runs[0], runs[1], rtol=1e-5)
 
 
+def test_prefetch16_equivalence_with_churn():
+    """prefetch_num=16 (the deep-window wire lever) through EVICTION churn:
+    losses identical to prefetch_num=2 on the same stream — the cache only
+    moves rows, so window depth must never change numerics even when rows
+    evict, write back, and re-admit between windows."""
+    tables = [2000, 1500]
+    runs = []
+    for pn in (2, 16):
+        cfg = _cfg(
+            tables, prefetch_num=pn, use_lfu_eviction=True, use_freq=False,
+            planner="host",
+        )
+        # capacity must cover the 16-batch window working set (the planner
+        # raises CapacityError otherwise) while still forcing churn
+        cfg.cache.cache_ratio = 0.45
+        data = SyntheticLongTailDataset(
+            tables, cfg.batch_size, num_batches=32, dense_in_features=4, seed=5
+        )
+        trainer = CachedDLRMTrainer(cfg)
+        report = trainer.train(data, num_iters=32)
+        assert trainer.embed.stats.swap_out_bytes > 0, "no churn exercised"
+        runs.append(report.losses)
+    np.testing.assert_allclose(runs[0], runs[1], rtol=1e-5)
+
+
 def test_lfu_vs_dataset_both_train():
     tables = [800, 800]
     for kw in (dict(use_lfu_eviction=True, use_freq=False), dict(use_lfu_eviction=False)):
