@@ -291,6 +291,18 @@ def scatter_admits_q8(
     )
 
 
+def dequant_rows_q4(packed, scales, D: int):
+    """Device inverse of manager._quant_rows_host4: (n, D//2) uint8 nibble
+    pairs (low nibble = element 2k, biased by 8) + (n,) f32 per-row scales
+    -> (n, D) f32 rows. The ONE definition of the int4 wire decode — used by
+    the admit scatter, the fused window program and the mesh sharded-admit
+    path, so the format can never desynchronize between them."""
+    n = packed.shape[0]
+    u = packed.astype(jnp.int32)
+    q = jnp.stack([(u & 0xF) - 8, (u >> 4) - 8], axis=-1).reshape(n, D)
+    return q.astype(jnp.float32) * scales[:, None]
+
+
 @partial(jax.jit, donate_argnames=("cache_weight",))
 def scatter_admits_q4(
     cache_weight: jnp.ndarray,
@@ -301,10 +313,7 @@ def scatter_admits_q4(
     """Land 4-bit-quantized admitted rows (biased-by-8 nibbles, dequantized
     on device with the per-row scale)."""
     C, D = cache_weight.shape
-    n = packed.shape[0]
-    u = packed.astype(jnp.int32)
-    q = jnp.stack([(u & 0xF) - 8, (u >> 4) - 8], axis=-1).reshape(n, D)
-    vals = q.astype(jnp.float32) * scales[:, None]
+    vals = dequant_rows_q4(packed, scales, D)
     return cache_weight.at[jnp.where(slots >= 0, slots, C)].set(
         vals.astype(cache_weight.dtype), mode="drop"
     )

@@ -73,15 +73,15 @@ def _apply_admits_sharded(
         c2 = f1 + (fb * d_full // 2 if fmode == "int4" else fb * d_full * fsize)
         f_slots = jax.lax.bitcast_convert_type(packed[f0:f1].reshape(fb, 4), jnp.int32)
         if fmode == "int4":
-            u = packed[f1:c2].reshape(fb, d_full // 2).astype(jnp.int32)
-            q = jnp.stack(
-                [(u & 0xF) - 8, (u >> 4) - 8], axis=-1
-            ).reshape(fb, d_full)
+            from cachedembedding_tpu.cache.state import dequant_rows_q4
+
             scales = jax.lax.bitcast_convert_type(
                 packed[c2 : c2 + 4 * fb].reshape(fb, 4), jnp.float32
             )
+            payload = dequant_rows_q4(
+                packed[f1:c2].reshape(fb, d_full // 2), scales, d_full
+            )
             c2 = c2 + 4 * fb
-            payload = q.astype(jnp.float32) * scales[:, None]
         elif fmode == "int8":
             q = jax.lax.bitcast_convert_type(
                 packed[f1:c2].reshape(fb, d_full, 1), jnp.int8
@@ -138,10 +138,10 @@ def build_mesh_window_train(
     sparse_grad: bool = False,
 ):
     """Returns step(dense_params, cache_weight, cache_accum, packed,
-    dense_feats, dense_meta, labels, sparse_lrs, dense_lrs, seed)
+    dense_feats, labels, sparse_lrs, dense_lrs, seed)
     -> (dense_params, cache_weight, cache_accum, (P,) losses).
-    ``dense_meta`` is the (scale, lo) f32 pair for int8 dense wire (ignored —
-    ship (1, 0) — for f32/bf16 dense)."""
+    int8 dense mode: the (scale, lo) dequant meta rides the TAIL of the
+    replicated packed buffer (trainer._quant_dense_window)."""
     from cachedembedding_tpu.train.trainer import _model_loss
 
     P_, L, B, Din, dmode, id_width, sb, fb, fmode = layout[:9]
@@ -151,11 +151,16 @@ def build_mesh_window_train(
     compute_dtype = jnp.dtype(compute_dtype_name)
 
     def inner(dense_params, cache_shard, cache_accum, packed, dense_feats,
-              dense_meta, labels, sparse_lrs, dense_lrs, seed):
+              labels, sparse_lrs, dense_lrs, seed):
         slot_values, a = _decode_window_ids(packed, layout)  # (P, L) replicated
         cache_shard, cache_accum = _apply_admits_sharded(
             cache_shard, cache_accum, packed, a, layout, seed, d_full,
             optimizer, adagrad_initial,
+        )
+        dense_meta = (
+            jax.lax.bitcast_convert_type(packed[-8:].reshape(2, 4), jnp.float32)
+            if dmode == "int8"
+            else None
         )
 
         def body(carry, xs):
@@ -246,9 +251,8 @@ def build_mesh_window_train(
             P(),              # dense_params replicated
             P(None, AXIS),    # cache_weight dim-sharded
             P(),              # cache_accum replicated (row-wise state)
-            P(),              # packed buffer replicated
+            P(),              # packed buffer replicated (+ int8 dense meta tail)
             P(None, AXIS),    # dense (P, B, Din) batch-sharded
-            P(),              # dense int8 dequant meta (scale, lo) replicated
             P(None, AXIS),    # labels (P, B) batch-sharded
             P(), P(), P(),
         ),
@@ -274,8 +278,8 @@ def build_mesh_window_eval(
     adagrad_initial: float = 0.0,
 ):
     """Forward-only fused mesh window. Returns step(dense_params, cache_weight,
-    cache_accum, packed, dense_feats, dense_meta, seed) -> (cache_weight,
-    cache_accum, (P, B) probabilities)."""
+    cache_accum, packed, dense_feats, seed) -> (cache_weight, cache_accum,
+    (P, B) probabilities). int8 dense meta rides the packed-buffer tail."""
     from cachedembedding_tpu.train.trainer import _model_probs
 
     P_, L, B, Din, dmode, id_width, sb, fb, fmode = layout[:9]
@@ -283,12 +287,16 @@ def build_mesh_window_eval(
     b_local = batch_size // w
     compute_dtype = jnp.dtype(compute_dtype_name)
 
-    def inner(dense_params, cache_shard, cache_accum, packed, dense_feats,
-              dense_meta, seed):
+    def inner(dense_params, cache_shard, cache_accum, packed, dense_feats, seed):
         slot_values, a = _decode_window_ids(packed, layout)
         cache_shard, cache_accum = _apply_admits_sharded(
             cache_shard, cache_accum, packed, a, layout, seed, d_full,
             optimizer, adagrad_initial,
+        )
+        dense_meta = (
+            jax.lax.bitcast_convert_type(packed[-8:].reshape(2, 4), jnp.float32)
+            if dmode == "int8"
+            else None
         )
 
         def score(d_local, v):
@@ -310,7 +318,7 @@ def build_mesh_window_eval(
     mapped = jax.shard_map(
         inner,
         mesh=mesh,
-        in_specs=(P(), P(None, AXIS), P(), P(), P(None, AXIS), P(), P()),
+        in_specs=(P(), P(None, AXIS), P(), P(), P(None, AXIS), P()),
         out_specs=(P(None, AXIS), P(), P(None, AXIS)),
         check_vma=False,
     )

@@ -45,6 +45,18 @@ from cachedembedding_tpu.ops.synth_rows import synth_rows
 from cachedembedding_tpu.utils.metrics import StreamingMetrics
 
 
+def _quant_dense_window(batches) -> tuple:
+    """Range-scaled uint8 dense-feature wire: ONE (scale, lo) f32 pair per
+    window. The single definition of the int8 dense format — used by the
+    packed, ragged and mesh window paths (decode: _unpack_dense / the mesh
+    step's tail-meta dequant)."""
+    raw = np.stack([np.asarray(b.dense_features, np.float32) for b in batches])
+    lo = float(raw.min())
+    scale = (float(raw.max()) - lo) / 255.0 or 1.0
+    q = np.round((raw - lo) / scale).astype(np.uint8)
+    return q, np.array([scale, lo], np.float32)
+
+
 def _fetch_mode(payload: np.ndarray) -> str:
     """Static wire format of the fetched-admit payload block."""
     if payload.dtype == np.uint8:
@@ -416,14 +428,15 @@ def _apply_packed_admits(cache_weight, cache_accum, packed, c, layout, seed,
         c2 = f1 + (fb * D // 2 if fmode == "int4" else fb * D * fsize)
         f_slots = jax.lax.bitcast_convert_type(packed[f0:f1].reshape(fb, 4), jnp.int32)
         if fmode == "int4":
-            # nibble-packed pairs (element 2k in the low nibble), biased by 8
-            u = packed[f1:c2].reshape(fb, D // 2).astype(jnp.int32)
-            q = jnp.stack([(u & 0xF) - 8, (u >> 4) - 8], axis=-1).reshape(fb, D)
+            from cachedembedding_tpu.cache.state import dequant_rows_q4
+
             scales = jax.lax.bitcast_convert_type(
                 packed[c2 : c2 + 4 * fb].reshape(fb, 4), jnp.float32
             )
+            payload = dequant_rows_q4(
+                packed[f1:c2].reshape(fb, D // 2), scales, D
+            )
             c2 = c2 + 4 * fb
-            payload = q.astype(jnp.float32) * scales[:, None]
         elif fmode == "int8":
             q = jax.lax.bitcast_convert_type(
                 packed[f1:c2].reshape(fb, D, 1), jnp.int8
@@ -1154,14 +1167,7 @@ class CachedDLRMTrainer:
             if self.mesh is not None:
                 dense = labels = dense_meta = None
             elif dmode == "int8":
-                raw = np.stack(
-                    [np.asarray(b.dense_features, np.float32) for b in batches]
-                )
-                lo = float(raw.min())
-                hi = float(raw.max())
-                scale = (hi - lo) / 255.0 or 1.0
-                dense = np.round((raw - lo) / scale).astype(np.uint8)
-                dense_meta = np.array([scale, lo], np.float32)
+                dense, dense_meta = _quant_dense_window(batches)
             else:
                 ddt = ml_dtypes.bfloat16 if dmode == "bfloat16" else np.float32
                 dense = np.stack([np.asarray(b.dense_features, ddt) for b in batches])
@@ -1285,35 +1291,27 @@ class CachedDLRMTrainer:
 
                 rep = NamedSharding(self.mesh, PS())
                 shd = NamedSharding(self.mesh, PS(None, AXIS))  # batch axis 1
-                buf_dev = jax.device_put(np.concatenate(parts), rep)
                 if dmode == "int8":
                     # same range-scaled uint8 wire as the single-chip packed
-                    # path; the (scale, lo) meta ships replicated and the mesh
-                    # step dequantizes per element.
-                    raw = np.stack(
-                        [np.asarray(b.dense_features, np.float32) for b in batches]
-                    )
-                    lo_ = float(raw.min())
-                    scale = (float(raw.max()) - lo_) / 255.0 or 1.0
-                    dense_np = np.round((raw - lo_) / scale).astype(np.uint8)
-                    dmeta_np = np.array([scale, lo_], np.float32)
+                    # path; the (scale, lo) meta rides the TAIL of the
+                    # replicated packed buffer (no extra per-window put) and
+                    # the mesh step dequantizes per element.
+                    dense_np, dmeta_np = _quant_dense_window(batches)
+                    parts = parts + [dmeta_np.view(np.uint8)]
                 else:
                     ddt = np.float32 if dmode == "float32" else ml_dtypes.bfloat16
                     dense_np = np.stack(
                         [np.asarray(b.dense_features, ddt) for b in batches]
                     )
-                    dmeta_np = np.array([1.0, 0.0], np.float32)
+                buf_dev = jax.device_put(np.concatenate(parts), rep)
                 dense_dev = jax.device_put(dense_np, shd)
-                dmeta_dev = jax.device_put(dmeta_np, rep)
                 labels_dev = jax.device_put(
                     np.stack(
                         [np.asarray(b.labels, np.float32) for b in batches]
                     ),
                     shd,
                 )
-                return pw_out, (
-                    "mesh", buf_dev, layout, dense_dev, labels_dev, dmeta_dev
-                )
+                return pw_out, ("mesh", buf_dev, layout, dense_dev, labels_dev)
             buf_dev = jax.device_put(np.concatenate(parts))
             return pw_out, ("packed", buf_dev, layout)
         if self.mesh is not None:
@@ -1394,11 +1392,9 @@ class CachedDLRMTrainer:
         dmode = self.cfg.dense_input_dtype
         parts = [ids_bytes, lens_bytes]
         if dmode == "int8":
-            raw = np.stack([np.asarray(b.dense_features, np.float32) for b in batches])
-            lo_, hi_ = float(raw.min()), float(raw.max())
-            scale = (hi_ - lo_) / 255.0 or 1.0
-            parts.append(np.array([scale, lo_], np.float32).view(np.uint8))
-            parts.append(np.round((raw - lo_) / scale).astype(np.uint8).reshape(-1))
+            q, meta = _quant_dense_window(batches)
+            parts.append(meta.view(np.uint8))
+            parts.append(q.reshape(-1))
         else:
             ddt = ml_dtypes.bfloat16 if dmode == "bfloat16" else np.float32
             parts.append(
@@ -1474,7 +1470,7 @@ class CachedDLRMTrainer:
             common["optimizer"] = "rowwise_adagrad"
             common["adagrad_eps"] = cfg.adagrad_eps
         if isinstance(window_input, tuple) and window_input[0] == "mesh":
-            _, buf_dev, layout, dense_dev, labels_dev, dmeta_dev = window_input
+            _, buf_dev, layout, dense_dev, labels_dev = window_input
             L = layout[1]
             sparse_grad = accum is None and (
                 cfg.use_sparse_embed_grad or self._device_rows() > 4 * L
@@ -1504,8 +1500,8 @@ class CachedDLRMTrainer:
             self.dense_params, new_cache, new_accum, losses = self._mesh_steps[key](
                 self.dense_params, self.embed.cache_weight,
                 accum if accum is not None else jnp.zeros((0,), jnp.float32),
-                buf_dev, dense_dev, dmeta_dev, labels_dev, sparse_lrs,
-                dense_lrs, getattr(self.embed, "_seed_u32", jnp.uint32(0)),
+                buf_dev, dense_dev, labels_dev, sparse_lrs, dense_lrs,
+                getattr(self.embed, "_seed_u32", jnp.uint32(0)),
             )
             if accum is not None:
                 self.embed.set_accum(new_accum)
@@ -1818,7 +1814,7 @@ class CachedDLRMTrainer:
                 continue
             if sv[0] == "mesh":
                 self._finish_window(pw)
-                _, buf_dev, layout, dense_dev, _labels_dev, dmeta_dev = sv
+                _, buf_dev, layout, dense_dev, _labels_dev = sv
                 accum = getattr(self.embed, "cache_accum", None)
                 key = ("eval", layout)
                 if key not in self._mesh_steps:
@@ -1844,7 +1840,7 @@ class CachedDLRMTrainer:
                 new_cache, new_accum, probs = self._mesh_steps[key](
                     self.dense_params, self.embed.cache_weight,
                     accum if accum is not None else jnp.zeros((0,), jnp.float32),
-                    buf_dev, dense_dev, dmeta_dev,
+                    buf_dev, dense_dev,
                     getattr(self.embed, "_seed_u32", jnp.uint32(0)),
                 )
                 self.embed.set_param(new_cache)
