@@ -40,9 +40,16 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "kernel decisions: HBM_FULL tables resident + CACHED "
                         "tables cached in ONE model (the DMP plan execution, "
                         "reference :764-792)")
-    p.add_argument("--sharding", choices=["auto", "table", "column", "row"],
+    p.add_argument("--sharding",
+                   choices=["auto", "table", "column", "row", "tablerow",
+                            "tablecolumn"],
                    default="auto",
-                   help="sharding type fed to the planner (reference --sharding_type)")
+                   help="sharding type fed to the planner (reference "
+                        "--sharding_type; tablerow/tablecolumn shard within "
+                        "one host group — set --devices_per_host)")
+    p.add_argument("--devices_per_host", type=int, default=0,
+                   help="devices per host for the hierarchical "
+                        "tablerow/tablecolumn placements (0 = single host)")
     p.add_argument("--cache_ratio", type=float, default=0.01)
     p.add_argument("--use_freq", action="store_true")
     p.add_argument("--prefetch_num", type=int, default=4)
@@ -95,6 +102,7 @@ def main(argv=None) -> None:
         num_devices=ndev,
         hbm_bytes_per_device=int(args.hbm_gb * (1 << 30)),
         host_dram_bytes=int(args.host_gb * (1 << 30)),
+        devices_per_host=args.devices_per_host,
     )
     specs = specs_from_sizes(
         cfg.num_embeddings_per_feature, cfg.embedding_dim, id_freq_map=freq
@@ -104,6 +112,8 @@ def main(argv=None) -> None:
         "table": ShardingType.TABLE_WISE,
         "column": ShardingType.COLUMN_WISE,
         "row": ShardingType.ROW_WISE,
+        "tablerow": ShardingType.TABLE_ROW_WISE,
+        "tablecolumn": ShardingType.TABLE_COLUMN_WISE,
     }[args.sharding]
     plan = EmbeddingShardingPlanner(topo).plan(
         specs,

@@ -37,6 +37,13 @@ class ShardingType(enum.Enum):
     TABLE_WISE = "table_wise"
     COLUMN_WISE = "column_wise"
     ROW_WISE = "row_wise"
+    # hierarchical (torchrec table_row_wise / table_column_wise,
+    # /root/reference/baselines/dlrm_main.py:709-721): the whole table is
+    # assigned to ONE host group and sharded row/column-wise across only that
+    # group's devices — collectives stay on the group's local ICI instead of
+    # crossing DCN.
+    TABLE_ROW_WISE = "table_row_wise"
+    TABLE_COLUMN_WISE = "table_column_wise"
 
 
 class Kernel(enum.Enum):
@@ -55,10 +62,17 @@ class Topology:
     hbm_budget_fraction: float = 0.6            # leave room for dense + activations
     ici_bytes_per_s: float = 90e9               # per-chip ICI bandwidth
     host_link_bytes_per_s: float = 8e9          # host<->HBM row staging
+    devices_per_host: int = 0                   # 0 = all devices on one host;
+    # >0 enables the hierarchical table_row/table_column placements (shards
+    # confined to one host group so their collectives ride local ICI)
 
     @property
     def hbm_budget(self) -> int:
         return int(self.hbm_bytes_per_device * self.hbm_budget_fraction)
+
+    @property
+    def group_size(self) -> int:
+        return self.devices_per_host or self.num_devices
 
 
 @dataclasses.dataclass
@@ -212,6 +226,39 @@ class EmbeddingShardingPlanner:
                 comm_bytes_per_sample=comm if ndev > 1 else 0,
             )
 
+        def place_host_group(
+            spec: TableSpec, sharding: ShardingType, kernel: Kernel, cache_ratio: float
+        ) -> TablePlan:
+            """table_row_wise / table_column_wise: shard across the devices of
+            the least-loaded HOST GROUP only — the collective (psum of row
+            partials / all-to-all of column shards) stays on that group's
+            local ICI; distribution to peers costs the same as table-wise."""
+            gs = topo.group_size
+            groups = ndev // gs
+            gloads = load.reshape(groups, gs).sum(axis=1)
+            g = int(np.argmin(gloads))
+            devs = list(range(g * gs, (g + 1) * gs))
+            if kernel is Kernel.HBM_FULL:
+                hbm = (spec.bytes + gs - 1) // gs
+                host = 0
+            else:
+                hbm = int(spec.bytes * cache_ratio) // gs
+                host = spec.num_embeddings * spec.embedding_dim * 4
+            for d in devs:
+                load[d] += hbm
+            comm = spec.embedding_dim * spec.weight_dtype_bytes
+            if sharding is ShardingType.TABLE_ROW_WISE:
+                comm *= 2
+            return TablePlan(
+                spec=spec, sharding=sharding, kernel=kernel, devices=devs,
+                cache_ratio=cache_ratio if kernel is Kernel.CACHED else 1.0,
+                hbm_bytes_per_device=hbm, host_bytes=host,
+                comm_bytes_per_sample=comm if ndev > 1 else 0,
+            )
+
+        hier = 0 < topo.devices_per_host < ndev  # multi-host topology
+        gs = topo.group_size
+
         # ---- pass 1: place, biggest first --------------------------------
         order = sorted(tables, key=lambda s: -s.bytes)
         for spec in order:
@@ -222,6 +269,13 @@ class EmbeddingShardingPlanner:
                 sharding = ShardingType.REPLICATED
             elif spec.bytes <= topo.hbm_budget // 4:
                 sharding = ShardingType.TABLE_WISE
+            elif hier and spec.bytes <= (topo.hbm_budget // 4) * gs:
+                # fits one host group: keep its collective off DCN
+                sharding = (
+                    ShardingType.TABLE_COLUMN_WISE
+                    if spec.embedding_dim % gs == 0
+                    else ShardingType.TABLE_ROW_WISE
+                )
             elif spec.embedding_dim % ndev == 0 and ndev > 1:
                 sharding = ShardingType.COLUMN_WISE
             else:
@@ -230,6 +284,12 @@ class EmbeddingShardingPlanner:
                 plans[spec.name] = place_replicated(spec)
             elif sharding is ShardingType.TABLE_WISE:
                 plans[spec.name] = place_table_wise(spec, kernel, default_cache_ratio)
+            elif sharding in (
+                ShardingType.TABLE_ROW_WISE, ShardingType.TABLE_COLUMN_WISE
+            ):
+                plans[spec.name] = place_host_group(
+                    spec, sharding, kernel, default_cache_ratio
+                )
             else:
                 plans[spec.name] = place_sharded(spec, sharding, kernel, default_cache_ratio)
 
@@ -250,6 +310,12 @@ class EmbeddingShardingPlanner:
                     ratio = float(np.clip(spec.hot_fraction, default_cache_ratio, 0.5))
                 if tp.sharding is ShardingType.TABLE_WISE:
                     plans[spec.name] = place_table_wise(spec, Kernel.CACHED, ratio)
+                elif tp.sharding in (
+                    ShardingType.TABLE_ROW_WISE, ShardingType.TABLE_COLUMN_WISE
+                ):
+                    plans[spec.name] = place_host_group(
+                        spec, tp.sharding, Kernel.CACHED, ratio
+                    )
                 else:
                     plans[spec.name] = place_sharded(spec, tp.sharding, Kernel.CACHED, ratio)
 

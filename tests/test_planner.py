@@ -50,6 +50,52 @@ def test_planner_balances_table_wise():
     assert len(set(owners)) == 4  # every device owns something
 
 
+def test_planner_hierarchical_host_group_placements():
+    """table_row_wise / table_column_wise (reference sharding types tablerow/
+    tablecolumn, baselines/dlrm_main.py:709-721): shards confined to the
+    devices of ONE host group, least-loaded group chosen, HBM split by the
+    group size."""
+    topo = Topology(
+        num_devices=8, hbm_bytes_per_device=16 * GIB, devices_per_host=4
+    )
+    spec = TableSpec("t", 40_000_000, 128)  # 10.2 GB bf16
+    for st in (ShardingType.TABLE_ROW_WISE, ShardingType.TABLE_COLUMN_WISE):
+        plan = EmbeddingShardingPlanner(topo).plan(
+            [spec], batch_size=1024, force_sharding=st
+        )
+        tp = plan.tables[0]
+        assert tp.sharding is st
+        assert len(tp.devices) == 4  # one host group, not the fleet
+        assert max(tp.devices) - min(tp.devices) == 3  # contiguous group
+        assert tp.hbm_bytes_per_device == (spec.bytes + 3) // 4
+    # two big tables force-placed hierarchically land on DIFFERENT groups
+    plan = EmbeddingShardingPlanner(topo).plan(
+        [TableSpec("a", 40_000_000, 128), TableSpec("b", 40_000_000, 128)],
+        batch_size=1024, force_sharding=ShardingType.TABLE_ROW_WISE,
+    )
+    groups = {min(tp.devices) // 4 for tp in plan.tables}
+    assert groups == {0, 1}
+
+
+def test_planner_auto_prefers_host_group_on_multihost():
+    """auto mode on a multi-host topology: a table too big for table-wise but
+    fitting one host group shards hierarchically (collective off DCN), and
+    over-budget hierarchical tables demote to CACHED keeping their group."""
+    topo = Topology(
+        num_devices=8, hbm_bytes_per_device=16 * GIB, devices_per_host=4,
+        host_dram_bytes=512 * GIB,  # the huge table's f32 master is 381 GiB
+    )
+    specs = [
+        TableSpec("grp", 40_000_000, 128),      # > budget/4, fits a group
+        TableSpec("huge", 800_000_000, 128),    # 204 GB: must cache
+    ]
+    plan = EmbeddingShardingPlanner(topo).plan(specs, batch_size=1024)
+    by = {tp.spec.name: tp for tp in plan.tables}
+    assert by["grp"].sharding is ShardingType.TABLE_COLUMN_WISE  # 128 % 4 == 0
+    assert by["huge"].kernel is Kernel.CACHED
+    assert plan.hbm_per_device().max() <= topo.hbm_budget
+
+
 def test_planner_raises_when_impossible():
     topo = Topology(num_devices=1, hbm_bytes_per_device=1 * GIB, host_dram_bytes=1 * GIB)
     specs = [TableSpec("huge", 1_000_000_000, 128)]
