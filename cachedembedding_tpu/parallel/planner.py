@@ -127,7 +127,7 @@ class Plan:
             f"EmbeddingShardingPlan  devices={self.topology.num_devices} "
             f"hbm_budget={self.topology.hbm_budget / gib:.1f}GiB/dev "
             f"batch={self.batch_size}",
-            f"{'table':<14}{'rows':>12}{'dim':>6}{'sharding':>13}{'kernel':>10}"
+            f"{'table':<14}{'rows':>12}{'dim':>6}{'sharding':>19}{'kernel':>10}"
             f"{'devices':>12}{'cache%':>8}{'HBM/dev':>10}{'host':>10}",
         ]
         for tp in self.tables:
@@ -138,7 +138,7 @@ class Plan:
             )
             lines.append(
                 f"{tp.spec.name:<14}{tp.spec.num_embeddings:>12}"
-                f"{tp.spec.embedding_dim:>6}{tp.sharding.value:>13}"
+                f"{tp.spec.embedding_dim:>6}{tp.sharding.value:>19}"
                 f"{tp.kernel.value:>10}{devs:>12}"
                 f"{tp.cache_ratio * 100:>7.1f}%"
                 f"{tp.hbm_bytes_per_device / gib:>9.2f}G"
