@@ -418,7 +418,7 @@ def run_rowwise(args, cfg, freq) -> None:
                     dp, cache, jnp.asarray(enc), jnp.asarray(d),
                     jnp.asarray(l), lrj, lrj,
                 )
-                losses.append(float(loss))
+                losses.append(loss)  # device scalar; ONE batched readback below
             else:
                 probs = steps[False](
                     dp, cache, jnp.asarray(enc), jnp.asarray(d), lrj, lrj
@@ -428,6 +428,10 @@ def run_rowwise(args, cfg, freq) -> None:
                 )
             embed.sync_shards(cache)
             done += 1
+        if train and losses:
+            # per-iteration float() readbacks would serialize the loop on a
+            # tunneled link; read the whole loss curve back once
+            losses = [float(x) for x in np.asarray(jnp.stack(losses))]
         return (losses if train else metrics.compute()), done
 
     import time
