@@ -77,6 +77,16 @@ def main() -> None:
                         "scatter-add (ops/binned_scatter.py). Adds ~2x id "
                         "wire per window: the right trade on a real TPU-VM "
                         "host link; usually a loss on the tunnel")
+    p.add_argument("--weight-init", choices=["virtual", "uniform"],
+                   default="virtual",
+                   help="host master table backing. virtual (default here): "
+                        "procedural + overlay — this sandbox's first-touch "
+                        "page faults run at ~0.12 GB/s (measured, "
+                        "microbench_hosttable.py) and would poison the timing "
+                        "with an artifact no real TPU-VM host shows; the "
+                        "overlay still does real host work per swapped row. "
+                        "uniform: materialized 17.3 GB table (THP) — use on "
+                        "real hosts; staging measures 3.8-5.8 GB/s there")
     p.add_argument("--platform", choices=["default", "cpu"], default="default",
                    help="force the jax platform (cpu = validation runs; env "
                         "vars are too late because sitecustomize imports jax)")
@@ -190,12 +200,10 @@ def main() -> None:
             buffer_size=0,
             use_lfu_eviction=False,
             use_pallas_lookup=bool(args.pallas),
-            # Virtual (procedural + overlay) host table: host cost = touched
-            # working set. This sandbox's page faults run at ~0.03-0.15 GB/s,
-            # which would otherwise dominate the timing with artifacts that no
-            # real TPU-VM host exhibits; the overlay still does real host work
-            # (hash probe + row materialization) per swapped row.
-            weight_init="virtual",
+            # Virtual (procedural + overlay) host table by default: host cost
+            # = touched working set; see --weight-init for the sandbox
+            # page-fault rationale and the dense-table numbers.
+            weight_init=args.weight_init,
             transfer_dtype="bfloat16",
             ship_sort_perm=args.ship_sort_perm,
             resident_threshold=0 if full_resident else args.resident_threshold,
