@@ -100,6 +100,11 @@ def main() -> None:
                         "(ceiling 61.7 vs 48.1 it/s; the window program costs "
                         "~0.8 ms/iter per 100k resident rows, cause open) — "
                         "the winner on fast local links.")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture a jax.profiler trace of the FIRST timed "
+                        "segment (op-level device timeline — the tool for the "
+                        "resident-region device-tax hunt); written as a "
+                        "TensorBoard trace under this directory")
     p.add_argument("--init-timeout", type=int, default=600,
                    help="abort if the TPU backend has not initialized within "
                         "this many seconds. The tunneled PJRT client can hang "
@@ -276,11 +281,16 @@ def main() -> None:
         # fresh stats per segment: the reported hit rate / swap traffic covers
         # exactly the measured steady-state segment, not the warmup transient
         trainer.embed.stats = CacheStats()
+        if args.profile_dir and r == 0:
+            jax.profiler.start_trace(args.profile_dir)
         t0 = time.time()
         rep = trainer.train(batches[lo : lo + args.iters], num_iters=args.iters)
         if hasattr(trainer.embed, "_drain_writebacks"):
             trainer.embed._drain_writebacks()  # eviction D2H inside the clock
         dt = time.time() - t0
+        if args.profile_dir and r == 0:
+            jax.profiler.stop_trace()
+            log(f"profiler trace (segment 0) -> {args.profile_dir}")
         probe_after = link_probe()
         link_mbps = min(probe_before, probe_after)
         ex_s = args.iters * cfg.batch_size / dt
