@@ -207,6 +207,104 @@ def _bucket_with_positions(enc: jnp.ndarray, owners: jnp.ndarray, w: int, V: int
     return out.reshape(w, V), jnp.minimum(counts, V), pos
 
 
+def build_rowwise_cached_window(
+    mesh: Mesh,
+    *,
+    num_features: int,
+    global_batch: int,
+    pooling: int,
+    capacity: int,
+    mode: str = "sum",
+    compute_dtype=jnp.float32,
+    model: str = "dlrm",
+    per_pair_budget: Optional[int] = None,
+):
+    """WINDOWED row-sharded cached train step: a whole prefetch window of P
+    batches as ONE shard_map scan — the rowwise analog of the single-chip
+    fused window (train/mesh_window.py). The control plane plans the window
+    ONCE (ids deduped across batches, far-sighted prefetch semantics) and the
+    cache assembles/syncs once per window instead of once per batch.
+
+    step(dense_params, global_cache,
+         enc (P, W, L_local), dense (P, W, B_local, Din),
+         labels (P, W, B_local), sparse_lrs (P,), dense_lrs (P,))
+      -> (dense_params, global_cache, (P,) losses)
+    """
+    from cachedembedding_tpu.train.trainer import _model_loss
+
+    w = mesh.devices.size
+    B_local = global_batch // w
+    L_local = num_features * B_local * pooling
+    V = per_pair_budget or L_local
+
+    def inner(dense_params, cache_shard, enc_w, dense_w, labels_w, slrs, dlrs):
+        # shard_map blocks: enc (P, 1, L), dense (P, 1, B, Din), labels (P, 1, B)
+        my = jax.lax.axis_index(AXIS)
+
+        def body(carry, xs):
+            dp, cw = carry
+            enc_local, dense_local, labels_local, slr, dlr = xs
+            dense_local = dense_local[0]
+            labels_local = labels_local.reshape(-1)
+            enc = enc_local.reshape(-1)
+            owners = enc // capacity
+            buckets, counts, pos = _bucket_with_positions(enc, owners, w, V)
+            received = jax.lax.all_to_all(
+                buckets, AXIS, split_axis=0, concat_axis=0, tiled=True
+            )
+            local_slots = jnp.clip(received - my * capacity, 0, capacity - 1)
+
+            def compute(dp_, cw_):
+                rows_owned = jnp.take(
+                    cw_, local_slots.reshape(-1), axis=0
+                ).reshape(w, V, -1)
+                rows_back = jax.lax.all_to_all(
+                    rows_owned, AXIS, split_axis=0, concat_axis=0, tiled=True
+                )
+                rows = jnp.take(rows_back.reshape(w * V, -1), pos, axis=0)
+                rows = rows.astype(jnp.float32)
+                fbp = rows.reshape(num_features, B_local, pooling, -1)
+                pooled = fbp.sum(axis=2) if mode == "sum" else fbp.mean(axis=2)
+                emb = jnp.transpose(pooled, (1, 0, 2))
+                loss = _model_loss(
+                    model, dp_, dense_local, emb, compute_dtype, labels_local
+                )
+                return loss * (B_local / global_batch)
+
+            loss, (g_dense, g_cache) = jax.value_and_grad(
+                compute, argnums=(0, 1)
+            )(dp, cw)
+            g_dense = jax.lax.psum(g_dense, AXIS)
+            loss = jax.lax.psum(loss, AXIS)
+            dp = jax.tree_util.tree_map(
+                lambda p_, g_: p_ - dlr * g_, dp, g_dense
+            )
+            cw = (
+                cw.astype(jnp.float32) - slr * g_cache.astype(jnp.float32)
+            ).astype(cw.dtype)
+            return (dp, cw), loss
+
+        (dense_params, cache_shard), losses = jax.lax.scan(
+            body, (dense_params, cache_shard),
+            (enc_w, dense_w, labels_w, slrs, dlrs),
+        )
+        return dense_params, cache_shard, losses
+
+    mapped = jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(
+            P(),                     # dense params replicated
+            P(AXIS, None),           # global cache row-sharded
+            P(None, AXIS, None),     # enc (P, W, L_local)
+            P(None, AXIS, None, None),  # dense (P, W, B_local, Din)
+            P(None, AXIS, None),     # labels (P, W, B_local)
+            P(), P(),
+        ),
+        out_specs=(P(), P(AXIS, None), P()), check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(1,))
+
+
 def build_rowwise_cached_step(
     mesh: Mesh,
     *,

@@ -321,10 +321,13 @@ def run_hybrid(args, cfg, freq) -> None:
 
 def run_rowwise(args, cfg, freq) -> None:
     """Row-sharded cached training over the mesh (parallel/row_cached.py):
-    per-batch steps — ids routed to owner shards host-side, per-shard planners
-    admit/evict on their own row ranges, one shard_map execute per batch with
-    the owner-routed all_to_all data plane. The >=2-host topology of
-    BASELINE.md, runnable today on the virtual CPU mesh."""
+    WINDOWED — ids routed to owner shards host-side and planned once per
+    prefetch window (deduped across its batches), per-shard planners
+    admit/evict on their own row ranges, then ONE shard_map scan executes the
+    window's steps with the owner-routed all_to_all data plane (cache
+    assembly/sync amortized over the window). Eval stays per-batch. The
+    >=2-host topology of BASELINE.md, runnable today on the virtual CPU
+    mesh."""
     import jax
     import jax.numpy as jnp
 
@@ -335,6 +338,7 @@ def run_rowwise(args, cfg, freq) -> None:
     from cachedembedding_tpu.parallel.row_cached import (
         RowShardedCachedEmbeddingBag,
         build_rowwise_cached_step,
+        build_rowwise_cached_window,
     )
     from cachedembedding_tpu.utils.metrics import StreamingMetrics
 
@@ -373,19 +377,27 @@ def run_rowwise(args, cfg, freq) -> None:
             cfg.over_arch_layer_sizes,
         )
     steps = {
-        True: build_rowwise_cached_step(
-            mesh, num_features=cfg.num_sparse_features,
-            global_batch=cfg.batch_size, pooling=1,
-            capacity=embed.capacity, model=cfg.model, train=True,
-        ),
         False: build_rowwise_cached_step(
             mesh, num_features=cfg.num_sparse_features,
             global_batch=cfg.batch_size, pooling=1,
             capacity=embed.capacity, model=cfg.model, train=False,
         ),
     }
+
+    def train_step():
+        # one windowed program; jit re-specializes on the (rare) shorter
+        # final window's P automatically
+        if "w" not in steps:
+            steps["w"] = build_rowwise_cached_window(
+                mesh, num_features=cfg.num_sparse_features,
+                global_batch=cfg.batch_size, pooling=1,
+                capacity=embed.capacity, model=cfg.model,
+            )
+        return steps["w"]
+
     B_local = cfg.batch_size // n
     F = cfg.num_sparse_features
+    PN = max(1, cfg.cache.prefetch_num)
 
     def per_rank_ids(batch):
         f = batch.sparse_features
@@ -399,39 +411,84 @@ def run_rowwise(args, cfg, freq) -> None:
         losses, done = [], 0
         lrj = jnp.asarray(cfg.learning_rate, jnp.float32)
         nonlocal dp
-        for batch in get_data(args, cfg, stage):
+        it = iter(get_data(args, cfg, stage))
+
+        def lr_at(i):
+            lr = cfg.learning_rate
+            if progress_total and cfg.change_lr:
+                if i / max(progress_total, 1) >= cfg.lr_change_point:
+                    lr = cfg.lr_after
+            return lr
+
+        while True:
             if limit is not None and done >= limit:
                 break
-            enc = embed.prepare_ids_per_rank(per_rank_ids(batch))
-            cache = embed.global_cache()
-            d = np.asarray(batch.dense_features, np.float32).reshape(
-                n, B_local, -1
-            )
             if train:
-                lr = cfg.learning_rate
-                if progress_total and cfg.change_lr:
-                    if done / max(progress_total, 1) >= cfg.lr_change_point:
-                        lr = cfg.lr_after
-                lrj = jnp.asarray(lr, jnp.float32)
-                l = np.asarray(batch.labels, np.float32).reshape(n, B_local)
-                dp, cache, loss = steps[True](
-                    dp, cache, jnp.asarray(enc), jnp.asarray(d),
-                    jnp.asarray(l), lrj, lrj,
+                # WINDOWED: plan the whole prefetch window once (ids deduped
+                # across its batches), assemble/sync the sharded cache once,
+                # run one shard_map scan over the window's steps.
+                want = PN if limit is None else min(PN, limit - done)
+                window = []
+                for _ in range(want):
+                    try:
+                        window.append(next(it))
+                    except StopIteration:
+                        break
+                if not window:
+                    break
+                Pw = len(window)
+                ids = np.stack([per_rank_ids(b) for b in window])  # (P, W, L)
+                enc = embed.prepare_ids_per_rank(
+                    ids.transpose(1, 0, 2).reshape(n, -1)
                 )
-                losses.append(loss)  # device scalar; ONE batched readback below
+                enc = enc.reshape(n, Pw, -1).transpose(1, 0, 2)  # (P, W, L)
+                cache = embed.global_cache()
+                d = np.stack(
+                    [
+                        np.asarray(b.dense_features, np.float32).reshape(
+                            n, B_local, -1
+                        )
+                        for b in window
+                    ]
+                )
+                l = np.stack(
+                    [
+                        np.asarray(b.labels, np.float32).reshape(n, B_local)
+                        for b in window
+                    ]
+                )
+                lrs = jnp.asarray(
+                    [lr_at(done + i) for i in range(Pw)], jnp.float32
+                )
+                dp, cache, loss_w = train_step()(
+                    dp, cache, jnp.asarray(enc), jnp.asarray(d),
+                    jnp.asarray(l), lrs, lrs,
+                )
+                losses.append(loss_w)  # (P,) device; ONE batched readback below
+                embed.sync_shards(cache)
+                done += Pw
             else:
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    break
+                enc = embed.prepare_ids_per_rank(per_rank_ids(batch))
+                cache = embed.global_cache()
+                d = np.asarray(batch.dense_features, np.float32).reshape(
+                    n, B_local, -1
+                )
                 probs = steps[False](
                     dp, cache, jnp.asarray(enc), jnp.asarray(d), lrj, lrj
                 )
                 metrics.update(
                     np.asarray(probs).reshape(-1), np.asarray(batch.labels)
                 )
-            embed.sync_shards(cache)
-            done += 1
+                embed.sync_shards(cache)
+                done += 1
         if train and losses:
             # per-iteration float() readbacks would serialize the loop on a
             # tunneled link; read the whole loss curve back once
-            losses = [float(x) for x in np.asarray(jnp.stack(losses))]
+            losses = [float(x) for x in np.asarray(jnp.concatenate(losses))]
         return (losses if train else metrics.compute()), done
 
     import time

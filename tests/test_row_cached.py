@@ -172,6 +172,70 @@ def test_rowwise_cached_eviction_coherence():
     np.testing.assert_allclose(sharded.dense_weight(), ref_w, rtol=1e-4, atol=1e-5)
 
 
+def test_rowwise_windowed_equals_single_host():
+    """The WINDOWED rowwise path (one plan + one shard_map scan per prefetch
+    window, build_rowwise_cached_window) must match the per-batch single-host
+    twin: window planning only moves admission earlier, never changes values."""
+    from cachedembedding_tpu.parallel.row_cached import (
+        build_rowwise_cached_window,
+    )
+
+    n_steps, PN = 6, 3
+    lr = 0.5
+    ids, dense, labels = _stream(n_steps, seed=31)
+    w0 = _init_weight(seed=32)
+    world = 4
+    mesh = make_mesh(world)
+    cap_shard = 256  # must cover the 3-batch window working set per shard
+    sharded = RowShardedCachedEmbeddingBag(
+        N, D, mesh=mesh, cuda_row_num=cap_shard, initial_weight=w0,
+        evict_strategy=EvictionStrategy.LFU, buffer_size=0,
+    )
+    wstep = build_rowwise_cached_window(
+        mesh, num_features=F, global_batch=B_GLOBAL, pooling=POOL,
+        capacity=cap_shard, model="dlrm",
+    )
+    key = jax.random.PRNGKey(0)
+    dp = init_dlrm_dense(key, D, F, DIN, (16, D), (16, 8, 1))
+    B_local = B_GLOBAL // world
+    lrs = jnp.full((PN,), lr, jnp.float32)
+    losses = []
+    for t0 in range(0, n_steps, PN):
+        per_rank = np.stack(
+            [
+                np.stack(
+                    [
+                        ids[t].reshape(F, B_GLOBAL, POOL)[
+                            :, r * B_local : (r + 1) * B_local
+                        ].reshape(-1)
+                        for r in range(world)
+                    ]
+                )
+                for t in range(t0, t0 + PN)
+            ]
+        )  # (P, W, L)
+        enc = sharded.prepare_ids_per_rank(
+            per_rank.transpose(1, 0, 2).reshape(world, -1)
+        )
+        enc = enc.reshape(world, PN, -1).transpose(1, 0, 2)
+        cache = sharded.global_cache()
+        d = dense[t0 : t0 + PN].reshape(PN, world, B_local, DIN)
+        l = labels[t0 : t0 + PN].reshape(PN, world, B_local)
+        dp, cache, loss_w = wstep(
+            dp, cache, jnp.asarray(enc), jnp.asarray(d), jnp.asarray(l),
+            lrs, lrs,
+        )
+        sharded.sync_shards(cache)
+        losses += [float(x) for x in np.asarray(loss_w)]
+    ref_losses, ref_w = _single_host_losses(
+        ids, dense, labels, w0, lr, n_steps, cap_total=cap_shard * world
+    )
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        sharded.dense_weight(), ref_w, rtol=1e-4, atol=1e-5
+    )
+
+
 def test_rowwise_eval_probs():
     world = 2
     mesh = make_mesh(world)
