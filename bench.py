@@ -318,7 +318,7 @@ def main() -> None:
             f"{x[4]:.0f} MB/s < half of median {med_link:.0f} MB/s")
     clear = [x for x in runs if x not in degraded] or runs
     churning = [x for x in clear if x[3].swap_out_bytes > 0]
-    pool = churning if (churning or full_resident) else clear
+    pool = churning or clear  # resident runs never churn: fall back to clear
     if not churning and not full_resident:
         log("WARNING: no segment carried eviction writebacks — number excludes "
             "steady-state swap cost; raise --iters")

@@ -105,27 +105,8 @@ def binned_scatter_add_grouped(
     assert bin_starts.shape == (NB + 1,)
     assert Lp % chunk == 0
     E = chunk
-    # ---- visit schedule (vectorized XLA; ~T elements of scalar data) -------
-    # bin b's element blocks: [floor(s/E), ceil(e/E)) — at least one visit so
-    # every output tile is written (empty bins: one all-masked zeroing visit)
-    s = bin_starts[:-1]
-    e = bin_starts[1:]
-    # element blocks covering bin b (>= 1 so every output tile gets written;
-    # empty bins take one all-masked zeroing visit)
-    k = jnp.maximum((e + E - 1) // E - s // E, 1)  # (NB,)
-    T = Lp // E + NB + 1  # static upper bound on total visits
-    cum = jnp.cumsum(k)
-    starts_t = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum[:-1]])
-    tt = jnp.arange(T, dtype=jnp.int32)
-    cb = jnp.searchsorted(cum, tt, side="right").astype(jnp.int32)
-    pad_visit = cb >= NB  # slack visits past the real schedule
-    cb = jnp.minimum(cb, NB - 1)
-    ci = ((s[cb] // E) + (tt - starts_t[cb].astype(jnp.int32))).astype(jnp.int32)
-    ci = jnp.clip(ci, 0, Lp // E - 1)
-    # first: 1 = zero the tile before accumulating; 2 = dead visit (pad slack
-    # revisiting the last bin — contributes nothing, never zeroes)
-    first = jnp.where(tt == starts_t[cb].astype(jnp.int32), 1, 0)
-    first = jnp.where(pad_visit, 2, first).astype(jnp.int32)
+    # visit schedule (shared with binned_sgd_update; `last` unused here)
+    cb, ci, first, _last, T = _visit_schedule(bin_starts, Lp, NB, E)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # cb, ci, first, bin_starts

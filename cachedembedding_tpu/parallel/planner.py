@@ -175,6 +175,13 @@ class EmbeddingShardingPlanner:
     ) -> Plan:
         topo = self.topology
         ndev = topo.num_devices
+        if topo.devices_per_host and (
+            topo.devices_per_host > ndev or ndev % topo.devices_per_host
+        ):
+            raise ValueError(
+                f"devices_per_host={topo.devices_per_host} must divide "
+                f"num_devices={ndev} (host groups are contiguous equal slices)"
+            )
         load = np.zeros(ndev, np.int64)  # HBM bytes per device
         plans: Dict[str, TablePlan] = {}
 

@@ -123,6 +123,18 @@ class RowShardedCachedEmbeddingBag:
         int32 encoded slots (owner * capacity + slot)."""
         W, L = ids_by_rank.shape
         assert W == self.world
+        if ids_by_rank.size:
+            lo = int(ids_by_rank.min())
+            hi = int(ids_by_rank.max())
+            if lo < 0 or hi >= self.num_embeddings:
+                # mirror the single-host range validation (manager._translate_ids
+                # / directory.plan): an out-of-range id would otherwise leave
+                # uninitialized garbage in `out` (no owner claims it) or train
+                # the shard-padding rows in [num_embeddings, W*per)
+                raise ValueError(
+                    f"id out of range: {lo if lo < 0 else hi} not in "
+                    f"[0, {self.num_embeddings})"
+                )
         out = np.empty((W, L), np.int64)
         owners = ids_by_rank // self.per  # equal shards: owner is a division
         for h in range(W):
@@ -261,7 +273,13 @@ def build_rowwise_cached_window(
                 rows_back = jax.lax.all_to_all(
                     rows_owned, AXIS, split_axis=0, concat_axis=0, tiled=True
                 )
-                rows = jnp.take(rows_back.reshape(w * V, -1), pos, axis=0)
+                # over-budget ids (pos >= w*V when an owner received more
+                # than V) contribute ZERO rows instead of clipping to an
+                # arbitrary last row — bounded degradation, never corruption
+                rows = jnp.take(
+                    rows_back.reshape(w * V, -1), pos, axis=0,
+                    mode="fill", fill_value=0,
+                )
                 rows = rows.astype(jnp.float32)
                 fbp = rows.reshape(num_features, B_local, pooling, -1)
                 pooled = fbp.sum(axis=2) if mode == "sum" else fbp.mean(axis=2)
@@ -359,7 +377,10 @@ def build_rowwise_cached_step(
             rows_back = jax.lax.all_to_all(
                 rows_owned, AXIS, split_axis=0, concat_axis=0, tiled=True
             )
-            rows = jnp.take(rows_back.reshape(w * V, -1), pos, axis=0)  # (L, D)
+            rows = jnp.take(
+                rows_back.reshape(w * V, -1), pos, axis=0,
+                mode="fill", fill_value=0,  # over-budget ids -> zero rows
+            )  # (L, D)
             rows = rows.astype(jnp.float32)
             fbp = rows.reshape(num_features, B_local, pooling, -1)
             pooled = fbp.sum(axis=2) if mode == "sum" else fbp.mean(axis=2)

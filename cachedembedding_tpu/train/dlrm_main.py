@@ -355,7 +355,7 @@ def run_rowwise(args, cfg, freq) -> None:
         buffer_size=cache_cfg.buffer_size,
         evict_strategy=(
             EvictionStrategy.LFU if cache_cfg.use_lfu_eviction
-            else EvictionStrategy.LFU
+            else EvictionStrategy.DATASET
         ),
         seed=cfg.seed,
         weight_init=cache_cfg.weight_init

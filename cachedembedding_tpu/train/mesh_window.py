@@ -136,12 +136,19 @@ def build_mesh_window_train(
     adagrad_eps: float = 1e-10,
     adagrad_initial: float = 0.0,
     sparse_grad: bool = False,
+    stochastic_rounding: bool = False,
 ):
     """Returns step(dense_params, cache_weight, cache_accum, packed,
     dense_feats, labels, sparse_lrs, dense_lrs, seed)
     -> (dense_params, cache_weight, cache_accum, (P,) losses).
     int8 dense mode: the (scale, lo) dequant meta rides the TAIL of the
-    replicated packed buffer (trainer._quant_dense_window)."""
+    replicated packed buffer (trainer._quant_dense_window).
+    ``stochastic_rounding``: the per-step f32 -> cache-dtype rounding of the
+    dense-grad update is unbiased (ops/rounding.py — the fp8 small-LR fix);
+    per-step seeds derive from the window seed, as in trainer._scan_window.
+    Requires the dense-grad path (sparse_grad=False)."""
+    if stochastic_rounding:
+        assert not sparse_grad, "stochastic rounding requires the dense-grad path"
     from cachedembedding_tpu.train.trainer import _model_loss
 
     P_, L, B, Din, dmode, id_width, sb, fb, fmode = layout[:9]
@@ -151,7 +158,10 @@ def build_mesh_window_train(
     compute_dtype = jnp.dtype(compute_dtype_name)
 
     def inner(dense_params, cache_shard, cache_accum, packed, dense_feats,
-              labels, sparse_lrs, dense_lrs, seed):
+              labels, sparse_lrs, dense_lrs, seed, *sr_args):
+        # sr_args: (sr_seed,) when stochastic_rounding — a PER-WINDOW varying
+        # uint32 (trainer step index); the admit `seed` is the constant
+        # canonical-init seed and must not drive the rounding sequence
         slot_values, a = _decode_window_ids(packed, layout)  # (P, L) replicated
         cache_shard, cache_accum = _apply_admits_sharded(
             cache_shard, cache_accum, packed, a, layout, seed, d_full,
@@ -169,7 +179,10 @@ def build_mesh_window_train(
             else:
                 dp, cw = carry
                 acc = None
-            d_local, v, l_local, slr, dlr = xs
+            if stochastic_rounding:
+                d_local, v, l_local, slr, dlr, step_seed = xs
+            else:
+                d_local, v, l_local, slr, dlr = xs
             if dmode == "int8":
                 # range-scaled uint8 dense wire (same format as single-chip)
                 d_local = (
@@ -216,15 +229,29 @@ def build_mesh_window_train(
                     # local-mean + scaled-LR, recsys/dlrm_main.py:455-461).
                     return loss * (b_local / batch_size)
 
+                # sr regime: grads w.r.t. the f32 upcast (a storage-dtype grad
+                # is cast back through that dtype by AD; fp8 flushes the small
+                # late-stage grads sr exists to preserve)
+                cw_in = (
+                    cw.astype(jnp.float32) if stochastic_rounding else cw
+                )
                 loss, (g_dense, g_cache) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1)
-                )(dp, cw)
+                )(dp, cw_in)
                 g32 = g_cache.astype(jnp.float32)
                 if optimizer == "rowwise_adagrad":
                     # global row-mean of g^2 = psum of per-shard column sums / D
                     acc = acc + jax.lax.psum(jnp.sum(g32 * g32, axis=1), AXIS) / d_full
                     g32 = g32 / (jnp.sqrt(acc) + adagrad_eps)[:, None]
-                cw = (cw.astype(jnp.float32) - slr * g32).astype(cw.dtype)
+                new32 = cw.astype(jnp.float32) - slr * g32
+                if stochastic_rounding:
+                    from cachedembedding_tpu.ops.rounding import (
+                        stochastic_astype,
+                    )
+
+                    cw = stochastic_astype(new32, cw.dtype, step_seed)
+                else:
+                    cw = new32.astype(cw.dtype)
 
             g_dense = jax.lax.psum(g_dense, AXIS)  # DDP all-reduce
             loss = jax.lax.psum(loss, AXIS)
@@ -234,6 +261,13 @@ def build_mesh_window_train(
             return (dp, cw), loss
 
         xs = (dense_feats, slot_values, labels, sparse_lrs, dense_lrs)
+        if stochastic_rounding:
+            P_steps = dense_feats.shape[0]
+            step_seeds = (
+                jnp.uint32(sr_args[0]) * jnp.uint32(0x9E3779B9)
+                + jnp.arange(P_steps, dtype=jnp.uint32)
+            )
+            xs = xs + (step_seeds,)
         if optimizer == "rowwise_adagrad":
             (dense_params, cache_shard, cache_accum), losses = jax.lax.scan(
                 body, (dense_params, cache_shard, cache_accum), xs
@@ -255,7 +289,7 @@ def build_mesh_window_train(
             P(None, AXIS),    # dense (P, B, Din) batch-sharded
             P(None, AXIS),    # labels (P, B) batch-sharded
             P(), P(), P(),
-        ),
+        ) + ((P(),) if stochastic_rounding else ()),  # sr_seed replicated
         out_specs=(P(), P(None, AXIS), P(), P()),
         check_vma=False,
     )

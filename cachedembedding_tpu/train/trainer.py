@@ -277,6 +277,12 @@ def _scan_window(
             )
 
             rows_p = jnp.take(cw, v, axis=0, mode="wrap")
+            if step_seed is not None:
+                # sr regime: differentiate w.r.t. the f32 UPCAST — a grad
+                # taken w.r.t. a storage-dtype leaf is cast back through that
+                # dtype by AD, and at fp8 that flushes the small late-stage
+                # grads stochastic rounding exists to preserve
+                rows_p = rows_p.astype(jnp.float32)
 
             def loss_fn(dp_, rows):
                 F, B, Pl = num_features, batch_size, pooling
@@ -304,8 +310,13 @@ def _scan_window(
                     slr,
                 )
             else:
+                gdt = cw.dtype
+                if step_seed is not None and jnp.dtype(cw.dtype).itemsize == 1:
+                    # fp8 grads would flush the sub-ulp updates sr preserves;
+                    # bf16 keeps f32's exponent range at the same kernel speed
+                    gdt = jnp.bfloat16
                 g32 = binned_scatter_add(
-                    g_rows.astype(cw.dtype), perm_p, grouped_p, bins_p,
+                    g_rows.astype(gdt), perm_p, grouped_p, bins_p,
                     cw.shape[0],
                 )
                 if optimizer == "rowwise_adagrad":
@@ -364,8 +375,12 @@ def _scan_window(
                 sparse_bfd = embedding_bag(cw_, feats, mode=mode, use_pallas=use_pallas)
                 return _model_loss(model, dp_, d, sparse_bfd, compute_dtype, l)
 
+            # sr regime: grads w.r.t. the f32 upcast (a storage-dtype grad is
+            # cast back through that dtype by AD; fp8 flushes the small
+            # late-stage grads sr exists to preserve)
+            cw_in = cw.astype(jnp.float32) if step_seed is not None else cw
             loss, (g_dense, g_cache) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-                dp, cw
+                dp, cw_in
             )
             g32 = g_cache.astype(jnp.float32)
             if optimizer == "rowwise_adagrad":
@@ -1044,7 +1059,7 @@ class CachedDLRMTrainer:
             self._esc_totals += sub.shape[0] * sub.shape[2]
             self._esc_seen += 1
             if self._esc_seen >= self._esc_learn_windows:
-                self._freeze_escape_spec(spec, n)
+                self._freeze_escape_spec(spec, n, Bf)
         if self._esc_spec:
             out = self._try_escape_encode(slot3, P, L, Bf)
             if out is not None:
@@ -1055,18 +1070,24 @@ class CachedDLRMTrainer:
             blocks.append(hostops.pack_ids_any(v - delta if delta else v, w))
         return np.concatenate(blocks), spec, sum((n * w) // 8 for w, _ in spec)
 
-    def _freeze_escape_spec(self, plain_spec, n: int) -> None:
+    def _freeze_escape_spec(self, plain_spec, n: int, Bf: int) -> None:
         """Pick each feature's base width minimizing expected bits/id
         (base width + overflow_rate * escape entry bits), then freeze the
         layout. Sets _esc_spec to False when nothing narrows."""
         tot = max(self._esc_totals, 1)
         spec = []
         exp_escapes = 0.0
+        # odd-nibble widths (4/12/20) pack element PAIRS: legal only when Bf
+        # is even, so every window's n = P*Bf stays even for ANY P (a final
+        # short window may have odd P) — mirrors hostops.nibble_width's guard
+        pairs_ok = Bf % 2 == 0
         for f, (w, delta) in enumerate(plain_spec):
             best_w, best_cost = w, float(w)
             for k, wc in enumerate(self._ESC_WIDTHS):
                 if wc >= w:
                     break
+                if wc % 8 and not pairs_ok:
+                    continue
                 rate = self._esc_counts[f, k] / tot
                 cost = wc + rate * self._ESC_BITS
                 if rate <= self._ESC_MAX_RATE and cost < best_cost:
@@ -1474,8 +1495,8 @@ class CachedDLRMTrainer:
             L = layout[1]
             sparse_grad = accum is None and (
                 cfg.use_sparse_embed_grad or self._device_rows() > 4 * L
-            ) and f0.pooling is not None
-            key = ("train", layout, sparse_grad)
+            ) and f0.pooling is not None and not self._sr
+            key = ("train", layout, sparse_grad, self._sr)
             if key not in self._mesh_steps:
                 from cachedembedding_tpu.train.mesh_window import (
                     build_mesh_window_train,
@@ -1496,12 +1517,14 @@ class CachedDLRMTrainer:
                     adagrad_eps=cfg.adagrad_eps,
                     adagrad_initial=getattr(self.embed, "adagrad_initial", 0.0),
                     sparse_grad=sparse_grad,
+                    stochastic_rounding=self._sr,
                 )
+            sr_extra = (jnp.uint32(self._step_idx),) if self._sr else ()
             self.dense_params, new_cache, new_accum, losses = self._mesh_steps[key](
                 self.dense_params, self.embed.cache_weight,
                 accum if accum is not None else jnp.zeros((0,), jnp.float32),
                 buf_dev, dense_dev, labels_dev, sparse_lrs, dense_lrs,
-                getattr(self.embed, "_seed_u32", jnp.uint32(0)),
+                getattr(self.embed, "_seed_u32", jnp.uint32(0)), *sr_extra,
             )
             if accum is not None:
                 self.embed.set_accum(new_accum)

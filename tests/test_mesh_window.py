@@ -105,6 +105,30 @@ def test_mesh_window_int8_dense_matches_single_chip():
     np.testing.assert_allclose(ev1["auroc"], ev2["auroc"], atol=2e-3)
 
 
+def test_mesh_window_fp8_stochastic_rounding_active():
+    """fp8 cache + stochastic rounding in MESH mode (formerly silently inert):
+    the sr window-program variant must compile and train with finite losses,
+    and the sr mesh run must diverge from an sr-off twin (same seeds — only
+    the rounding differs)."""
+    tables = [700, 300]
+    losses = {}
+    for srm in ("on", "off"):
+        kw = dict(cache_kw=dict(cache_dtype="float8_e4m3fn",
+                                stochastic_rounding=srm))
+        cfg = _cfg(tables, 256, **kw)
+        mesh = make_mesh(len(jax.devices()))
+        trainer = CachedDLRMTrainer(cfg, mesh=mesh)
+        assert trainer._sr == (srm == "on")
+        rep = trainer.train(_data(tables, cfg, 8), num_iters=8)
+        assert np.isfinite(rep.losses).all()
+        losses[srm] = rep.losses
+    # the sr-off path is fully deterministic, so ANY bitwise divergence proves
+    # the sr rounding executed (magnitude is tiny at this scale by design)
+    assert not np.array_equal(losses["on"], losses["off"]), (
+        "sr had no effect in mesh mode"
+    )
+
+
 def test_mesh_window_gather_scatter_fused_op():
     tables = [700, 300]
     cfg = _cfg(tables, 256, fused_op="gather_scatter")
