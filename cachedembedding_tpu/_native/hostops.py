@@ -98,7 +98,9 @@ def alloc_table(rows: int, dim: int, dtype=np.float32) -> np.ndarray:
             # keep the mapping alive with the array; freed at process exit
             arr.flags.writeable = True
             return arr
-    return np.empty((rows, dim), dtype=dtype)
+    # fallback must be ZEROED: mmap'd native allocations are zero pages, and
+    # weight_init='zeros' (the checkpoint-load path) relies on that
+    return np.zeros((rows, dim), dtype=dtype)
 
 
 def gather_rows(table: np.ndarray, idx: np.ndarray, out: np.ndarray | None = None) -> np.ndarray:

@@ -121,6 +121,19 @@ class HostDirectory:
     def plan(self, ids: np.ndarray, out_slot_ids: Optional[np.ndarray] = None) -> HostPlan:
         ids = np.ascontiguousarray(ids, np.int32)
         L = ids.shape[0]
+        if out_slot_ids is not None:
+            # the native dir_plan writes L int32 through the raw pointer — an
+            # undersized/non-contiguous/wrong-dtype buffer would corrupt the
+            # heap silently (PyDirectory's slice assignment raises instead)
+            if (
+                out_slot_ids.dtype != np.int32
+                or out_slot_ids.size < L
+                or not out_slot_ids.flags.c_contiguous
+            ):
+                raise ValueError(
+                    "out_slot_ids must be a C-contiguous int32 buffer with "
+                    f">= {L} elements"
+                )
         slot_ids = out_slot_ids if out_slot_ids is not None else np.empty((L,), np.int32)
         n_miss = self._lib.dir_plan(
             self._h, ids.ctypes.data, L, slot_ids.ctypes.data,
@@ -220,13 +233,18 @@ class PyDirectory:
         need = n_miss - from_free
         victims = np.empty((n_miss,), np.int32)
         evict_rows = np.full((n_miss,), -1, np.int64)
-        for k in range(from_free):
-            victims[k] = self.free_slots.pop()
         if need > 0:
+            # capacity check BEFORE mutating free_slots: raising after popping
+            # would leak the popped slots (neither free nor assigned) and
+            # permanently shrink effective capacity for a caller that catches
+            # CapacityError and retries smaller
             occupied = (self.slot_to_row >= 0) & ~protected
             cand = np.nonzero(occupied)[0]
             if cand.shape[0] < need:
                 raise CapacityError("cache capacity exhausted")
+        for k in range(from_free):
+            victims[k] = self.free_slots.pop()
+        if need > 0:
             order = np.argsort(self.slot_freq[cand], kind="stable")
             chosen = cand[order[:need]]
             victims[from_free:] = chosen

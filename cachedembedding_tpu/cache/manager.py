@@ -478,13 +478,18 @@ class CachedEmbeddingBag:
     def _warmup(self, warmup_ratio: float) -> None:
         """Preload the hottest ``warmup_ratio * capacity`` rows by dataset frequency
         (reference default 0.7, /root/reference/recsys/dlrm_main.py:133)."""
+        freq = self._warm_freq
         k = min(
             int(warmup_ratio * self.capacity),
             self.num_embeddings - self.resident_total,
+            # only rows the dataset actually hits: resident rows have their
+            # frequency zeroed in _warm_freq and must never spend cache slots
+            # (argpartition would otherwise pick them once positive-frequency
+            # cached rows run out)
+            int((freq > 0).sum()),
         )
         if k <= 0:
             return
-        freq = self._warm_freq
         top = np.argpartition(freq, -k)[-k:].astype(np.int64)
         # Seed eviction priority with (capped) dataset frequency so warm rows
         # are not immediately evicted before earning runtime hits.
@@ -704,6 +709,19 @@ class CachedEmbeddingBag:
                 else host_slot_ids
             )
             return HostPreparedWindow(slot_ids=slot_ids, hplan=hplan)
+        # Range-validate BEFORE the jitted planner: an out-of-range id would be
+        # silently dropped by the planning scatter and then aliased to a wrong
+        # row by remap_ids' clamping gather — mirror the host planners'
+        # ValueError (PyDirectory.plan / native dir_plan / _translate_ids).
+        ids_host = np.asarray(ids)
+        if ids_host.size:
+            lo, hi = int(ids_host.min()), int(ids_host.max())
+            if lo < 0 or hi >= self.num_embeddings:
+                raise ValueError(
+                    f"id out of range: {lo if lo < 0 else hi} not in "
+                    f"[0, {self.num_embeddings}) — check table-size/hash "
+                    "configuration"
+                )
         ids_dev = jnp.asarray(ids, dtype=jnp.int32)
         L = int(ids_dev.shape[0])
         budget = self.unique_budget or L
@@ -878,8 +896,8 @@ class CachedEmbeddingBag:
         n_fetch = n_miss - n_fresh
         if n_fetch:
             w_rows = hp.admit_rows[written]
-            # trained rows may still be in flight on the writeback thread
-            self._ensure_clean(w_rows, block=False)
+            # no _ensure_clean needed: the full drain above already landed
+            # every in-flight writeback and nothing was submitted since
             fb = _bucket(n_fetch, lo=1024)
             fetch_slots = np.full((fb,), -1, np.int32)
             fetch_slots[:n_fetch] = hp.admit_slots[written]
@@ -991,8 +1009,13 @@ class CachedEmbeddingBag:
                     self.cache_weight, slots_dev_wb,
                     out_dtype=None if self.transfer_mode == "float32" else "bfloat16",
                 )
+                accum_dev = (
+                    gather_slots(self.cache_accum[:, None], slots_dev_wb)
+                    if self.cache_accum is not None
+                    else None
+                )
                 self._pending_wb.append(
-                    (ev_rows_c[wb_mask], wb_mask, e - s, vals_dev, None)
+                    (ev_rows_c[wb_mask], wb_mask, e - s, vals_dev, accum_dev)
                 )
                 n_wb += int(wb_mask.sum())
         self.stats.num_write_back_history.append(n_wb)
@@ -1080,14 +1103,11 @@ class CachedEmbeddingBag:
     def _do_drain(self, items) -> None:
         t0 = time.perf_counter()
         for ev_rows, wb_mask, n, vals_dev, accum_dev in items:
-            if isinstance(vals_dev, tuple):  # int8 (q, scales) readback
-                q = np.asarray(vals_dev[0])
-                scales = np.asarray(vals_dev[1]).astype(np.float32)
-                vals = q.astype(np.float32) * scales[:, None]
-            else:
-                vals = np.asarray(vals_dev)  # blocks until the enqueued gather ran
-                if vals.dtype != np.float32:
-                    vals = vals.astype(np.float32)
+            # writebacks are always bf16/f32 (never int8/int4 — see the
+            # churn-compounding note at the gather sites)
+            vals = np.asarray(vals_dev)  # blocks until the enqueued gather ran
+            if vals.dtype != np.float32:
+                vals = vals.astype(np.float32)
             with self._host_lock:
                 self.host_table.scatter(ev_rows, vals[:n][wb_mask])
                 if accum_dev is not None:
@@ -1153,6 +1173,15 @@ class CachedEmbeddingBag:
         values = jnp.asarray(values, dtype=jnp.int32)
         if self.cache_op:
             values = self.prepare_ids(values)
+        if offsets is not None and not self.include_last_offset:
+            # torch EmbeddingBag(include_last_offset=False): offsets carry only
+            # bag starts; append the trailing boundary the kernel expects
+            offsets = jnp.concatenate(
+                [
+                    jnp.asarray(offsets, jnp.int32),
+                    jnp.asarray([values.shape[0]], jnp.int32),
+                ]
+            )
         if batch_size is None:
             nb = (offsets.shape[0] - 1) if offsets is not None else values.shape[0]
             batch_size = nb // num_features

@@ -178,9 +178,18 @@ def plan_ids(
     score = jnp.where(empty, -1.0, state.slot_freq.astype(jnp.float32))
     score = jnp.where(protected, jnp.inf, score)
     if approx_evict:
-        # TPU-fast approximate selection; recall < 1 only perturbs LFU order,
-        # never correctness (victims are still unprotected slots).
-        victim_scores, victim_slots = jax.lax.approx_min_k(score, k=U)
+        # TPU-fast approximate selection. approx_min_k's recall < 1 can let a
+        # protected (inf-score) slot into the k while missing a true-minimum
+        # unprotected one; re-sorting WITHIN the k (U << C, cheap) pushes any
+        # inf entries past the unprotected ones so they only become active
+        # victims when the selected k genuinely has fewer than n_miss
+        # unprotected slots. A residual false 'capacity exhausted' is still
+        # possible under extreme pressure (recall missed enough unprotected
+        # slots) — it fails loudly via capacity_ok, never corrupts silently.
+        k_scores, k_slots = jax.lax.approx_min_k(score, k=U)
+        order_k = jnp.argsort(k_scores)
+        victim_slots = k_slots[order_k]
+        victim_scores = k_scores[order_k]
     else:
         order = jnp.argsort(score)
         victim_slots = order[:U]

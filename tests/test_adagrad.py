@@ -87,6 +87,33 @@ def test_accum_survives_eviction_roundtrip():
     assert (acc > 0).sum() > 50  # many rows trained across evictions
 
 
+def test_accum_survives_eviction_nonstaged_path():
+    """The NON-staged host-planner path (bare prepare_ids/finish_prepare, no
+    trainer window staging) must write the adagrad accumulator back on
+    eviction too — a regression test for the path that silently dropped it
+    (evicted rows re-admitted with accumulator reset to initial)."""
+    import jax.numpy as jnp
+
+    from cachedembedding_tpu.cache.manager import CachedEmbeddingBag
+
+    N, D, C = 300, 8, 40
+    bag = CachedEmbeddingBag(
+        N, D, cuda_row_num=C, buffer_size=0, planner="host",
+        optimizer="rowwise_adagrad",
+    )
+    # round 1: make rows 0..C-1 resident and give them accumulator state
+    ids1 = np.arange(C, dtype=np.int64)
+    slots1 = np.asarray(bag.prepare_ids(ids1))
+    bag.set_accum(bag.cache_accum.at[slots1].set(7.5))
+    # round 2: a disjoint working set evicts all of round 1's rows
+    ids2 = np.arange(C, 2 * C, dtype=np.int64)
+    bag.prepare_ids(ids2)
+    # round 3: re-admit round 1's rows — their accumulator must come back
+    slots3 = np.asarray(bag.prepare_ids(ids1))
+    acc = np.asarray(bag.cache_accum)[slots3]
+    np.testing.assert_allclose(acc, 7.5, rtol=1e-6)
+
+
 def test_adagrad_checkpoint_roundtrip(tmp_path):
     from cachedembedding_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
