@@ -112,7 +112,47 @@ def main() -> None:
                         "tunnel is down (observed 2026-08-17); a fast clean "
                         "failure beats wedging the caller. Compiles are NOT "
                         "under this clock — only device discovery.")
+    p.add_argument("--init-retry-window", type=int, default=1800,
+                   help="before touching the backend in-process, probe the "
+                        "tunnel in a KILLABLE subprocess (100s timeout each, "
+                        "2 min apart) for up to this many seconds, so a "
+                        "transient tunnel outage at bench time delays the "
+                        "run instead of sinking the recorded number. 0 = off. "
+                        "A hung make_c_api_client can only be killed from "
+                        "outside the process, hence the subprocess.")
     args = p.parse_args()
+
+    if args.platform != "cpu" and args.init_retry_window > 0:
+        import subprocess
+
+        probe_src = (
+            "import jax, numpy as np\n"
+            "x = jax.device_put(np.arange(64, dtype=np.int32))\n"
+            "assert int(np.asarray(x[:1])[0]) == 0\n"
+        )
+        deadline = time.time() + args.init_retry_window
+        attempt = 0
+        while True:
+            attempt += 1
+            try:
+                rc = subprocess.run(
+                    [sys.executable, "-c", probe_src], timeout=100,
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                ).returncode
+            except subprocess.TimeoutExpired:
+                rc = -1
+            if rc == 0:
+                if attempt > 1:
+                    log(f"tunnel probe OK on attempt {attempt}")
+                break
+            remain = deadline - time.time()
+            if remain <= 0:
+                log(f"tunnel probe still failing after {attempt} attempts — "
+                    "proceeding anyway (the init watchdog will bound the hang)")
+                break
+            log(f"tunnel probe failed (attempt {attempt}); retrying for up to "
+                f"{remain:.0f}s more")
+            time.sleep(min(120, max(1, remain)))
 
     import jax
 
