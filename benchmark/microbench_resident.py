@@ -115,6 +115,48 @@ def main():
         args = [(make_cw(i), jnp.asarray(v), i) for i, v in enumerate(vs[:2])]
         timeit(step_sparse, args, tag="full step shape SPARSE (gather+rows-grad+scatter)")
 
+        # (f/g) CONVERT-WRAP HYPOTHESIS (hlo_resident_census.py): XLA wraps a
+        # 16-bit scatter in full-array bf16->f32->bf16 converts — 3 full-N
+        # passes per step, path-independent, which would BE the tax. If so:
+        # scatter into an f32 operand shows ~no N-scaling, bf16 does.
+        @jax.jit
+        def make_cw32(seed):
+            return jax.random.normal(jax.random.PRNGKey(seed), (N, D),
+                                     jnp.float32)
+
+        @jax.jit
+        def scat_bf16(cw, v, g_rows):
+            return cw.at[v].add(g_rows, mode="promise_in_bounds")
+
+        @jax.jit
+        def scat_f32(cw32, v, g_rows):
+            return cw32.at[v].add(g_rows.astype(jnp.float32),
+                                  mode="promise_in_bounds")
+
+        args = [(make_cw(i), jnp.asarray(v), make_g_rows(i))
+                for i, v in enumerate(vs[:2])]
+        timeit(scat_bf16, args, tag="bare scatter-add, bf16 operand")
+        args = [(make_cw32(i), jnp.asarray(v), make_g_rows(i))
+                for i, v in enumerate(vs[:2])]
+        timeit(scat_f32, args, tag="bare scatter-add, f32 operand")
+
+        # (h) the fix candidate: sparse step with f32 STORAGE (gather wraps,
+        # scatter native f32 in-place — nothing traverses N)
+        @jax.jit
+        def step_sparse32(cw32, v, seed):
+            tgt = jax.random.normal(jax.random.PRNGKey(seed), (B, F, D))
+
+            def loss_fn(rows):
+                pooled = rows.reshape(F, B, D).transpose(1, 0, 2)
+                return jnp.mean((pooled - tgt) ** 2)
+
+            rows0 = jnp.take(cw32, v, axis=0, mode="wrap")
+            g_rows = jax.grad(loss_fn)(rows0)
+            return cw32.at[v].add(-0.1 * g_rows, mode="promise_in_bounds")
+
+        args = [(make_cw32(i), jnp.asarray(v), i) for i, v in enumerate(vs[:2])]
+        timeit(step_sparse32, args, tag="full step SPARSE f32-storage wrap-gather")
+
 
 if __name__ == "__main__":
     main()
