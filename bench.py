@@ -77,6 +77,12 @@ def main() -> None:
                         "scatter-add (ops/binned_scatter.py). Adds ~2x id "
                         "wire per window: the right trade on a real TPU-VM "
                         "host link; usually a loss on the tunnel")
+    p.add_argument("--cache-dtype", default="bfloat16",
+                   help="HBM row-storage dtype. float32 removes the full-array "
+                        "bf16<->f32 convert wrap XLA puts around 16-bit "
+                        "scatters (the resident-region device tax candidate; "
+                        "benchmark/hlo_resident_census.py) at the cost of 2x "
+                        "cache HBM and 2x gather bytes")
     p.add_argument("--weight-init", choices=["virtual", "uniform"],
                    default="virtual",
                    help="host master table backing. virtual (default here): "
@@ -250,6 +256,7 @@ def main() -> None:
             # page-fault rationale and the dense-table numbers.
             weight_init=args.weight_init,
             transfer_dtype="bfloat16",
+            cache_dtype=args.cache_dtype,
             ship_sort_perm=args.ship_sort_perm,
             resident_threshold=0 if full_resident else args.resident_threshold,
         ),
