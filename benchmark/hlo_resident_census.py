@@ -31,6 +31,8 @@ def main():
     p.add_argument("--batch", type=int, default=16384)
     p.add_argument("--features", type=int, default=26)
     p.add_argument("--sparse-grad", action="store_true")
+    p.add_argument("--cache-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32", "float8_e4m3fn"])
     p.add_argument("--dump-hlo", type=str, default=None)
     args = p.parse_args()
 
@@ -69,7 +71,7 @@ def main():
     reports = {}
     for R in args.residents:
         N = args.capacity + R
-        cw_s = jax.ShapeDtypeStruct((N, D), jnp.bfloat16)
+        cw_s = jax.ShapeDtypeStruct((N, D), jnp.dtype(args.cache_dtype))
         pk_s = jax.ShapeDtypeStruct((packed_bytes,), jnp.uint8)
         lr_s = jax.ShapeDtypeStruct((P,), jnp.float32)
         seed_s = jax.ShapeDtypeStruct((), jnp.uint32)

@@ -438,6 +438,11 @@ class CachedEmbeddingBag:
         self._host_lock = threading.Lock()
         self._wb_exec = ThreadPoolExecutor(max_workers=1)
         self._wb_futures: list = []  # (future, concatenated evicted row ids)
+        # Device->host readback hook: identity here; the column-parallel bag
+        # replaces it with a jitted replicate (all-gather) so readbacks of
+        # dim-sharded values work when the mesh spans multiple PROCESSES
+        # (np.asarray of a non-addressable array raises).
+        self._rep = lambda x: x
 
         if self.resident_total:
             self._init_resident_region()
@@ -632,14 +637,14 @@ class CachedEmbeddingBag:
         chunk = self.buffer_size if self.buffer_size > 0 else (1 << 17)
         for s in range(0, R, chunk):
             e = min(s + chunk, R)
-            vals = np.asarray(
+            vals = np.asarray(self._rep(
                 self.cache_weight[self.capacity + s : self.capacity + e]
-            ).astype(np.float32)
+            )).astype(np.float32)
             self.host_table.scatter(self._res_rows[s:e], vals)
             if self.cache_accum is not None:
-                acc = np.asarray(
+                acc = np.asarray(self._rep(
                     self.cache_accum[self.capacity + s : self.capacity + e]
-                )
+                ))
                 self.host_accum.scatter(self._res_rows[s:e], acc)
         self.stats.swap_out_bytes += R * self.embedding_dim * 4
 
@@ -961,12 +966,12 @@ class CachedEmbeddingBag:
                 # a fresh per-row quantization each cycle, growing master error
                 # with churn count. Admits (the wire-dominant direction) still
                 # ship int8.
-                vals_dev = gather_slots(
+                vals_dev = self._rep(gather_slots(
                     self.cache_weight, slots_dev,
                     out_dtype=None if self.transfer_mode == "float32" else "bfloat16",
-                )
+                ))
                 accum_dev = (
-                    gather_slots(self.cache_accum[:, None], slots_dev)
+                    self._rep(gather_slots(self.cache_accum[:, None], slots_dev))
                     if self.cache_accum is not None
                     else None
                 )
@@ -1005,12 +1010,12 @@ class CachedEmbeddingBag:
                 slots_dev_wb = jnp.array(slots_c)
                 # bf16 (not int8) writebacks — see note in the device-planner
                 # writeback path above.
-                vals_dev = gather_slots(
+                vals_dev = self._rep(gather_slots(
                     self.cache_weight, slots_dev_wb,
                     out_dtype=None if self.transfer_mode == "float32" else "bfloat16",
-                )
+                ))
                 accum_dev = (
-                    gather_slots(self.cache_accum[:, None], slots_dev_wb)
+                    self._rep(gather_slots(self.cache_accum[:, None], slots_dev_wb))
                     if self.cache_accum is not None
                     else None
                 )
@@ -1230,12 +1235,12 @@ class CachedEmbeddingBag:
             slots_c = np.full((b,), -1, np.int32)
             slots_c[: e - s] = resident_slots[s:e]
             slots_dev = jnp.asarray(slots_c)
-            vals = np.asarray(gather_slots(self.cache_weight, slots_dev))
+            vals = np.asarray(self._rep(gather_slots(self.cache_weight, slots_dev)))
             self.host_table.scatter(resident_rows[s:e], vals[: e - s])
             if self.cache_accum is not None:
-                acc = np.asarray(
+                acc = np.asarray(self._rep(
                     gather_slots(self.cache_accum[:, None], slots_dev)
-                ).reshape(-1)
+                )).reshape(-1)
                 self.host_accum.scatter(resident_rows[s:e], acc[: e - s])
         self.stats.swap_out_bytes += n * self.embedding_dim * 4
         self.stats.swap_out_time += time.perf_counter() - t0

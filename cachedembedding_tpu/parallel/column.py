@@ -39,6 +39,12 @@ class ParallelCachedEmbeddingBag(CachedEmbeddingBag):
     def _shard_cache(self) -> None:
         sharding = NamedSharding(self.mesh, P(None, AXIS))
         self.cache_weight = jax.device_put(self.cache_weight, sharding)
+        # Readbacks of dim-sharded values (eviction writebacks, flush) must be
+        # replicated first when the mesh spans multiple processes: np.asarray
+        # of a non-addressable array raises. One jitted identity per
+        # shape/dtype; XLA lowers it to an all-gather over the mesh.
+        rep = NamedSharding(self.mesh, P())
+        self._rep = jax.jit(lambda x: x, out_shardings=rep)
 
     @property
     def dim_per_rank(self) -> int:

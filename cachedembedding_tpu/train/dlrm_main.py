@@ -89,6 +89,15 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed for a TPU pod slice "
                         "(launch the same command on every host; scripts/pod.sh)")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="with --multihost: explicit coordinator host:port "
+                        "(default: TPU metadata service autodetect). Also used "
+                        "by the CPU multi-process dress rehearsal "
+                        "(tests/test_multiprocess.py)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="with --multihost + --coordinator_address: process count")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="with --multihost + --coordinator_address: this process's id")
     # observability / debug
     p.add_argument("--inspect_time", action="store_true",
                    help="run 200 iters printing per-step loss + timing, then exit "
@@ -98,6 +107,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="save a flush-coherent checkpoint here after each epoch "
                         "(and resume from it at startup if present)")
     p.add_argument("--memory_fraction", type=float, default=None)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu) — applied before "
+                        "backend init; JAX_PLATFORMS env is too late when a "
+                        "sitecustomize imports jax first")
     p.add_argument("--compute_dtype", choices=["float32", "bfloat16"], default="float32")
     p.add_argument("--embedding_optimizer", choices=["sgd", "rowwise_adagrad"],
                    default="sgd", help="embedding-table optimizer; rowwise_adagrad "
@@ -518,13 +531,25 @@ def run_rowwise(args, cfg, freq) -> None:
 
 def main(argv=None) -> None:
     args = parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.multihost:
         # one controller per host; topology from the TPU metadata service
         # (the L0 launcher analog of colossalai.launch_from_torch,
-        # /root/reference/recsys/dlrm_main.py:378)
+        # /root/reference/recsys/dlrm_main.py:378), or explicit coordinator
+        # args for generic clusters / the CPU multi-process dress rehearsal
         import jax
 
-        jax.distributed.initialize()
+        if args.coordinator_address:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator_address,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        else:
+            jax.distributed.initialize()
     from cachedembedding_tpu.train.trainer import CachedDLRMTrainer
     from cachedembedding_tpu.utils.misc import get_mem_info
 
