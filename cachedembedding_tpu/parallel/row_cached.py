@@ -82,8 +82,18 @@ class RowShardedCachedEmbeddingBag:
         self.per = int(bounds[1] - bounds[0])  # equal (padded) shard rows
         cap = int(cuda_row_num) if cuda_row_num else max(1, int(cache_ratio * self.per))
         self.capacity = cap
-        self.shards: List[CachedEmbeddingBag] = []
+        # Under REAL multi-process execution each controller constructs ONLY
+        # the shards whose device it owns: its DRAM holds its host-table
+        # shards and nothing else (the defining >=2-host memory shape).
+        # Remote shards stay None; the slot-assignment exchange in
+        # prepare_ids_per_rank fills in their contribution.
+        self.multiproc = jax.process_count() > 1
+        my_proc = jax.process_index()
+        self.shards: List[Optional[CachedEmbeddingBag]] = []
         for h in range(W):
+            if self.multiproc and self.devices[h].process_index != my_proc:
+                self.shards.append(None)
+                continue
             lo = int(bounds[h])
             hi = min(int(bounds[h + 1]), num_embeddings)
             iw = None
@@ -135,9 +145,11 @@ class RowShardedCachedEmbeddingBag:
                     f"id out of range: {lo if lo < 0 else hi} not in "
                     f"[0, {self.num_embeddings})"
                 )
-        out = np.empty((W, L), np.int64)
+        out = np.full((W, L), -1, np.int64)
         owners = ids_by_rank // self.per  # equal shards: owner is a division
         for h in range(W):
+            if self.shards[h] is None:
+                continue  # remote owner: its controller plans this sub-stream
             mask = owners == h
             if not mask.any():
                 continue
@@ -146,12 +158,32 @@ class RowShardedCachedEmbeddingBag:
             self.shards[h].finish_prepare(pw)
             slots = np.asarray(pw.slot_ids)
             out[mask] = slots.astype(np.int64) + h * self.capacity
-        # aggregate stats across shards for reporting
+        if self.multiproc:
+            # Host-side slot-assignment exchange: every controller planned the
+            # sub-stream its shards own; combine (valid enc >= 0 beats the -1
+            # filler). Rides the device collective fabric — the DCN-correct
+            # host exchange of the reference's KJT all_to_all control phase
+            # (/root/reference/recsys/datasets/utils.py:29-41).
+            from jax.experimental import multihost_utils
+
+            gathered = multihost_utils.process_allgather(
+                out.astype(np.int32)
+            )  # (n_processes, W, L)
+            out = np.max(gathered, axis=0)
+            if (out < 0).any():
+                raise RuntimeError(
+                    "slot exchange left unassigned ids — a shard owner "
+                    "failed to plan its sub-stream"
+                )
         return out.astype(np.int32)
 
     def aggregate_stats(self) -> CacheStats:
+        """Stats over THIS controller's shards (per-host numbers under
+        multi-process execution, global when single-process)."""
         agg = CacheStats()
         for m in self.shards:
+            if m is None:
+                continue
             s = m.stats
             agg.prepare_calls += s.prepare_calls
             agg.swap_in_bytes += s.swap_in_bytes
@@ -165,27 +197,42 @@ class RowShardedCachedEmbeddingBag:
     def global_cache(self) -> jax.Array:
         """(W * capacity, D) row-sharded P(AXIS) view assembled from the
         per-shard manager arrays WITHOUT data movement (each shard already
-        lives on its own device)."""
-        shards = [m.cache_weight[: self.capacity] for m in self.shards]
+        lives on its own device). Under multi-process execution each
+        controller contributes only its addressable shards — exactly
+        make_array_from_single_device_arrays' multihost contract."""
         sharding = NamedSharding(self.mesh, P(AXIS, None))
+        local = [
+            (d, self.shards[h].cache_weight[: self.capacity])
+            for h, d in enumerate(self.devices)
+            if self.shards[h] is not None
+        ]
         try:
             return jax.make_array_from_single_device_arrays(
                 (self.world * self.capacity, self.embedding_dim),
                 sharding,
-                [jax.device_put(s, d) for s, d in zip(shards, self.devices)],
+                [jax.device_put(s, d) for d, s in local],
             )
         except Exception:
+            if self.multiproc:
+                raise
             # fallback: host-side concat (CPU test meshes where single-device
             # assembly is unsupported for the dtype)
             return jax.device_put(
-                jnp.concatenate(shards, axis=0), sharding
+                jnp.concatenate([s for _, s in local], axis=0), sharding
             )
 
     def sync_shards(self, global_cache: jax.Array) -> None:
         """Write the step's updated rows back into each shard manager (so the
-        NEXT prepare's eviction writebacks read post-update values)."""
-        for h, m in enumerate(self.shards):
-            block = global_cache[h * self.capacity : (h + 1) * self.capacity]
+        NEXT prepare's eviction writebacks read post-update values). Reads
+        the process's ADDRESSABLE shards only — no cross-process traffic and
+        no global slicing program (which would have to run on every
+        controller in lockstep)."""
+        dev_to_h = {d: h for h, d in enumerate(self.devices)}
+        for sh in global_cache.addressable_shards:
+            m = self.shards[dev_to_h[sh.device]]
+            if m is None:  # pragma: no cover - addressable implies local
+                continue
+            block = sh.data  # (capacity, D), already on the shard's device
             if m.cache_weight.shape[0] > self.capacity:
                 m.cache_weight = m.cache_weight.at[: self.capacity].set(
                     block.astype(m.cache_weight.dtype)
@@ -195,16 +242,28 @@ class RowShardedCachedEmbeddingBag:
 
     def flush(self) -> None:
         for m in self.shards:
-            m.flush()
+            if m is not None:
+                m.flush()
 
     def dense_weight(self) -> np.ndarray:
-        """Full (num_embeddings, D) master after flush (test/checkpoint path)."""
+        """Full (num_embeddings, D) master after flush (test/checkpoint path).
+        Multi-process: every controller returns the SAME full master —
+        local host-table shards are exchanged over the collective fabric."""
         self.flush()
         rows = [
             np.asarray(m.host_table.gather(np.arange(self.per, dtype=np.int64)))
+            if m is not None
+            else np.zeros((self.per, self.embedding_dim), np.float32)
             for m in self.shards
         ]
-        return np.concatenate(rows, axis=0)[: self.num_embeddings]
+        full = np.concatenate(rows, axis=0)
+        if self.multiproc:
+            from jax.experimental import multihost_utils
+
+            full = np.sum(
+                multihost_utils.process_allgather(full), axis=0
+            )  # disjoint shards: zeros elsewhere, sum = union
+        return full[: self.num_embeddings]
 
 
 def _bucket_with_positions(enc: jnp.ndarray, owners: jnp.ndarray, w: int, V: int):

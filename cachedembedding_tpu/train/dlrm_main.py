@@ -366,9 +366,13 @@ def run_rowwise(args, cfg, freq) -> None:
         ids_freq_mapping=freq if cache_cfg.use_freq else None,
         warmup_ratio=cache_cfg.warmup_ratio,
         buffer_size=cache_cfg.buffer_size,
+        # DATASET needs a frequency map; fall back to LFU otherwise (same
+        # selection as CachedDLRMTrainer.__init__)
         evict_strategy=(
-            EvictionStrategy.LFU if cache_cfg.use_lfu_eviction
-            else EvictionStrategy.DATASET
+            EvictionStrategy.DATASET
+            if (not cache_cfg.use_lfu_eviction and cache_cfg.use_freq
+                and freq is not None)
+            else EvictionStrategy.LFU
         ),
         seed=cfg.seed,
         weight_init=cache_cfg.weight_init
@@ -412,6 +416,19 @@ def run_rowwise(args, cfg, freq) -> None:
     F = cfg.num_sparse_features
     PN = max(1, cfg.cache.prefetch_num)
 
+    # Explicit global shardings on every device input/readback: required when
+    # the mesh spans processes (each controller transfers only its addressable
+    # shards; np.asarray of a sharded output raises), a no-op single-process.
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    from cachedembedding_tpu.parallel.mesh import AXIS
+
+    def put(x, *spec):
+        return jax.device_put(x, NamedSharding(mesh, PS(*spec)))
+
+    replicate = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, PS()))
+    dp = put(dp)
+
     def per_rank_ids(batch):
         f = batch.sparse_features
         fb = np.asarray(f.values).reshape(F, cfg.batch_size, -1)
@@ -422,7 +439,7 @@ def run_rowwise(args, cfg, freq) -> None:
     def run(stage, limit, train, progress_total=None):
         metrics = StreamingMetrics()
         losses, done = [], 0
-        lrj = jnp.asarray(cfg.learning_rate, jnp.float32)
+        lrj = put(np.float32(cfg.learning_rate))
         nonlocal dp
         it = iter(get_data(args, cfg, stage))
 
@@ -470,12 +487,13 @@ def run_rowwise(args, cfg, freq) -> None:
                         for b in window
                     ]
                 )
-                lrs = jnp.asarray(
-                    [lr_at(done + i) for i in range(Pw)], jnp.float32
-                )
+                lrs = put(np.asarray(
+                    [lr_at(done + i) for i in range(Pw)], np.float32
+                ))
                 dp, cache, loss_w = train_step()(
-                    dp, cache, jnp.asarray(enc), jnp.asarray(d),
-                    jnp.asarray(l), lrs, lrs,
+                    dp, cache, put(enc, None, AXIS, None),
+                    put(d, None, AXIS, None, None),
+                    put(l, None, AXIS, None), lrs, lrs,
                 )
                 losses.append(loss_w)  # (P,) device; ONE batched readback below
                 embed.sync_shards(cache)
@@ -491,10 +509,12 @@ def run_rowwise(args, cfg, freq) -> None:
                     n, B_local, -1
                 )
                 probs = steps[False](
-                    dp, cache, jnp.asarray(enc), jnp.asarray(d), lrj, lrj
+                    dp, cache, put(enc, AXIS, None),
+                    put(d, AXIS, None, None), lrj, lrj
                 )
                 metrics.update(
-                    np.asarray(probs).reshape(-1), np.asarray(batch.labels)
+                    np.asarray(replicate(probs)).reshape(-1),
+                    np.asarray(batch.labels),
                 )
                 embed.sync_shards(cache)
                 done += 1

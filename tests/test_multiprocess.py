@@ -21,17 +21,20 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-BASE_ARGS = [
+COMMON = [
     "--platform", "cpu",
     "--use_cache", "--cache_ratio", "0.04", "--use_freq",
-    "--transfer_dtype", "int8",
     "--batch_size", "128", "--embedding_dim", "32",
     "--num_embeddings_per_feature", "4000,4000,4000,4000",
     "--dense_arch_layer_sizes", "32,32", "--over_arch_layer_sizes", "32,1",
     "--limit_train_batches", "24", "--limit_val_batches", "2",
-    "--limit_test_batches", "2",
-    "--prefetch_num", "2", "--use_overlap",
+    "--limit_test_batches", "2", "--prefetch_num", "2",
 ]
+# column-wise hybrid (the flagship mesh path) with int8 admit payloads
+BASE_ARGS = COMMON + ["--transfer_dtype", "int8", "--use_overlap"]
+# row-sharded cached: per-process host-table shards + directories, the
+# >=2-host memory shape (parallel/row_cached.py)
+ROWWISE_ARGS = COMMON + ["--use_rowwise"]
 
 
 def _free_port() -> int:
@@ -60,23 +63,21 @@ def _metrics(out: str) -> dict:
     return m
 
 
-def _run_single() -> dict:
-    cmd = [sys.executable, "-m", "cachedembedding_tpu.train.dlrm_main"] + BASE_ARGS
+def _run_single(extra_args) -> dict:
+    cmd = [sys.executable, "-m", "cachedembedding_tpu.train.dlrm_main"] + extra_args
     r = subprocess.run(cmd, env=_env(4), cwd=REPO, capture_output=True,
                        text=True, timeout=420)
     assert r.returncode == 0, f"single-proc run failed:\n{r.stdout[-1500:]}\n{r.stderr[-1500:]}"
     return _metrics(r.stdout)
 
 
-def test_two_process_cached_mesh_matches_single_process():
-    """2 processes x 2 devices == 1 process x 4 devices, bit-for-bit metrics,
-    through eviction churn (swap_out > 0) + int8 admits + device-synth rows."""
+def _run_two_process(extra_args) -> list:
     port = _free_port()
     procs = []
     for pid in range(2):
         cmd = [sys.executable, "-m", "cachedembedding_tpu.train.dlrm_main",
                "--multihost", "--coordinator_address", f"127.0.0.1:{port}",
-               "--num_processes", "2", "--process_id", str(pid)] + BASE_ARGS
+               "--num_processes", "2", "--process_id", str(pid)] + extra_args
         procs.append(subprocess.Popen(
             cmd, env=_env(2), cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
@@ -91,13 +92,37 @@ def test_two_process_cached_mesh_matches_single_process():
             raise
         assert p.returncode == 0, f"multiproc rank failed:\n{out[-1500:]}\n{err[-1500:]}"
         outs.append(out)
+    return outs
 
+
+def test_two_process_cached_mesh_matches_single_process():
+    """Column-wise hybrid: 2 processes x 2 devices == 1 process x 4 devices,
+    bit-for-bit metrics, through eviction churn (swap_out > 0) + int8 admits
+    + device-synth rows."""
+    outs = _run_two_process(BASE_ARGS)
     m0, m1 = _metrics(outs[0]), _metrics(outs[1])
     assert m0 == m1, f"ranks disagree: {m0} vs {m1}"
-    # eviction churn actually ran (the readback path being certified)
-    assert re.search(r"swap_out=0\.0*[1-9]", outs[0]) or "swap_out" in outs[0]
+    assert "swap_out" in outs[0]  # churn stats printed (readback path ran)
 
-    ms = _run_single()
+    ms = _run_single(BASE_ARGS)
+    for stage in ("val", "test"):
+        assert m0[stage] == ms[stage], (
+            f"{stage}: 2-process {m0[stage]} != single-process {ms[stage]}"
+        )
+
+
+def test_two_process_rowwise_matches_single_process():
+    """Row-sharded cached (the >=2-host shape): each controller constructs
+    ONLY its own host-table shards + planners in its own address space; slot
+    assignments are exchanged over the collective fabric. Metrics and final
+    loss bit-identical to the single-process mesh."""
+    outs = _run_two_process(ROWWISE_ARGS)
+    m0, m1 = _metrics(outs[0]), _metrics(outs[1])
+    assert m0 == m1, f"ranks disagree: {m0} vs {m1}"
+    # per-host planners are genuinely independent: each rank reports ITS
+    # shards' hit rate (they differ), yet training metrics agree
+    ms = _run_single(ROWWISE_ARGS)
+    assert m0["loss"] == ms["loss"]
     for stage in ("val", "test"):
         assert m0[stage] == ms[stage], (
             f"{stage}: 2-process {m0[stage]} != single-process {ms[stage]}"
