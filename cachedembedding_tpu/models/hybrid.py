@@ -102,6 +102,11 @@ class HybridParallelDLRM:
             cfg.dense_arch_layer_sizes,
             cfg.over_arch_layer_sizes,
         )
+        # explicitly-replicated global params (multi-process: committed
+        # process-local arrays can't feed programs over the global mesh)
+        self.dense_params = jax.device_put(
+            self.dense_params, NamedSharding(self.mesh, P())
+        )
         self._steps: dict = {}
 
     # -- reference-API parity -------------------------------------------------
@@ -154,8 +159,15 @@ class HybridParallelDLRM:
     def shard_batch(self, dense: np.ndarray, labels: np.ndarray):
         sh = NamedSharding(self.mesh, P(AXIS))
         return (
-            jax.device_put(jnp.asarray(dense), sh),
-            jax.device_put(jnp.asarray(labels, jnp.float32), sh),
+            jax.device_put(np.asarray(dense), sh),
+            jax.device_put(np.asarray(labels, np.float32), sh),
+        )
+
+    def _replicated(self, x):
+        """Small scalars/vectors as explicitly-replicated global arrays —
+        committed process-local arrays can't feed a multi-process program."""
+        return jax.device_put(
+            np.asarray(x, np.float32), NamedSharding(self.mesh, P())
         )
 
     def _window_step_fn(self, kind: str, global_batch: int):
@@ -183,10 +195,10 @@ class HybridParallelDLRM:
             self.dense_params,
             self.embed.cache_weight,
             slot_ids,
-            jax.device_put(jnp.asarray(dense_P), sh),
-            jax.device_put(jnp.asarray(labels_P, jnp.float32), sh),
-            jnp.asarray(sparse_lrs, jnp.float32),
-            jnp.asarray(dense_lrs, jnp.float32),
+            jax.device_put(np.asarray(dense_P), sh),
+            jax.device_put(np.asarray(labels_P, np.float32), sh),
+            self._replicated(sparse_lrs),
+            self._replicated(dense_lrs),
         )
         self.embed.cache_weight = new_cache
         return losses
@@ -201,7 +213,7 @@ class HybridParallelDLRM:
             self.dense_params,
             self.embed.cache_weight,
             slot_ids,
-            jax.device_put(jnp.asarray(dense_P), sh),
+            jax.device_put(np.asarray(dense_P), sh),
         )
 
     def train_step(self, dense, sparse_slot_values, labels, sparse_lr, dense_lr):
@@ -216,8 +228,8 @@ class HybridParallelDLRM:
             dense_d,
             sparse_slot_values,
             labels_d,
-            jnp.asarray(sparse_lr, jnp.float32),
-            jnp.asarray(dense_lr, jnp.float32),
+            self._replicated(sparse_lr),
+            self._replicated(dense_lr),
         )
         self.embed.cache_weight = new_cache
         return loss

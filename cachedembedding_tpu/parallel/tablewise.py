@@ -208,9 +208,26 @@ class ParallelCachedEmbeddingBagTablewise:
                 self.table_local_offset[t] = off
                 off += configs[t].num_embeddings
 
-        # host tables per rank
-        self.host_tables = []
+        # Under REAL multi-process execution each controller owns ONLY the
+        # ranks whose device it holds: its DRAM gets those ranks' host tables
+        # and directories; remote ranks stay None (the >=2-host memory shape,
+        # same contract as parallel.row_cached).
+        self.multiproc = jax.process_count() > 1
+        my_proc = jax.process_index()
+        self.devices = list(mesh.devices.flat)
+        self._dev_rank = {d: r for r, d in enumerate(self.devices)}
+        self.local_ranks = [
+            r for r, d in enumerate(self.devices)
+            if not self.multiproc or d.process_index == my_proc
+        ]
+        is_local = set(self.local_ranks)
+
+        # host tables per rank (local ranks only)
+        self.host_tables: List = []
         for r, ts in enumerate(self.tables_of_rank):
+            if r not in is_local:
+                self.host_tables.append(None)
+                continue
             sizes = [configs[t].num_embeddings for t in ts] or [1]
             sizes = sizes + [1]  # pad row lives at the end
             if weight_init == "virtual":
@@ -227,11 +244,17 @@ class ParallelCachedEmbeddingBagTablewise:
             self.host_tables.append(ht)
 
         # per-rank host cache directories (the host-authoritative planner,
-        # cache/host_directory.py): one directory per rank's fused local id
-        # space — zero device readbacks anywhere in the prepare path.
-        self.dirs = [make_directory(self.N_max, self.C_max, evict_strategy) for _ in range(w)]
+        # cache/host_directory.py): one directory per LOCAL rank's fused
+        # local id space — zero device readbacks anywhere in the prepare path.
+        self.dirs = [
+            make_directory(self.N_max, self.C_max, evict_strategy)
+            if r in is_local else None
+            for r in range(w)
+        ]
         if evict_strategy == EvictionStrategy.DATASET:
             for r, ts in enumerate(self.tables_of_rank):
+                if self.dirs[r] is None:
+                    continue
                 freq = np.zeros((self.N_max,), np.int64)
                 off = 0
                 for t in ts:
@@ -241,9 +264,13 @@ class ParallelCachedEmbeddingBagTablewise:
                         freq[off : off + n] = np.minimum(f, 2**31 - 1)
                     off += n
                 self.dirs[r].set_dataset_freq(freq)
-        self.cache_weight = jax.device_put(
-            jnp.zeros((w, self.C_max, self.embedding_dim), jnp.float32),
+        self.cache_weight = jax.make_array_from_callback(
+            (w, self.C_max, self.embedding_dim),
             NamedSharding(mesh, P(AXIS)),
+            lambda idx: np.zeros(
+                (len(range(*idx[0].indices(w))), self.C_max, self.embedding_dim),
+                np.float32,
+            ),
         )
 
         self.stats = CacheStats()
@@ -266,84 +293,130 @@ class ParallelCachedEmbeddingBagTablewise:
             out[r, j * B : (j + 1) * B] = ids_bf[:, t] + self.table_local_offset[t]
         return out
 
+    def _put(self, arr: np.ndarray, spec: P):
+        """Host array -> global sharded array, materializing ONLY this
+        controller's addressable shards (jax.device_put would assert the
+        value equal across processes; per-rank lanes are filled only by
+        their owner here)."""
+        return jax.make_array_from_callback(
+            arr.shape, NamedSharding(self.mesh, spec), lambda idx: arr[idx]
+        )
+
+    def _global_max(self, v: int) -> int:
+        """Largest value across processes (padded-shape agreement: every
+        controller must dispatch identically-shaped global programs)."""
+        if not self.multiproc:
+            return int(v)
+        from jax.experimental import multihost_utils
+
+        return int(np.max(multihost_utils.process_allgather(np.int32(v))))
+
     def begin_prepare(self, ids_bf: np.ndarray):
-        """Plan all ranks' windows on the host (native C++ directories, no
-        device work) and ship the stacked slot ids sharded over the mesh."""
+        """Plan the LOCAL ranks' batch on the host (native C++ directories, no
+        device work) and ship the stacked slot ids sharded over the mesh —
+        device_put of a P(AXIS) value transfers only this controller's
+        addressable shards, so remote ranks' (zero-filled, planned by their
+        own controller) lanes never ship from here."""
         routed = self.route_ids(np.asarray(ids_bf))  # (w, B*F_max) local ids
         plans = [
             self.dirs[r].plan(np.ascontiguousarray(routed[r], np.int32))
+            if self.dirs[r] is not None else None
             for r in range(self.world)
         ]
-        slot_ids = jax.device_put(
-            np.stack([p.slot_ids for p in plans]).astype(np.int32),
-            NamedSharding(self.mesh, P(AXIS)),
-        )
+        out = np.zeros(routed.shape, np.int32)
+        for r in self.local_ranks:
+            out[r] = plans[r].slot_ids
+        slot_ids = self._put(out, P(AXIS))
         return slot_ids, plans
 
     def begin_prepare_window(self, ids_bf_list):
         """Plan a WHOLE prefetch window (list of (B, F) per-feature id
-        matrices): one directory plan per rank covering all P batches, one
-        sharded device transfer of the stacked slot ids. Returns
+        matrices): one directory plan per LOCAL rank covering all P batches,
+        one sharded device transfer of the stacked slot ids. Returns
         (slot_ids (P, w, B*F_max) P(None, AXIS)-sharded, plans)."""
         P_ = len(ids_bf_list)
         routed = np.stack(
             [self.route_ids(np.asarray(b)) for b in ids_bf_list]
         )  # (P, w, B*F_max)
-        plans = []
-        out = np.empty_like(routed, dtype=np.int32)
-        for r in range(self.world):
+        plans: List = [None] * self.world
+        out = np.zeros_like(routed, dtype=np.int32)
+        for r in self.local_ranks:
             p = self.dirs[r].plan(
                 np.ascontiguousarray(routed[:, r, :].reshape(-1), np.int32)
             )
             out[:, r, :] = p.slot_ids.reshape(P_, -1)
-            plans.append(p)
-        slot_ids = jax.device_put(
-            out, NamedSharding(self.mesh, P(None, AXIS))
-        )
+            plans[r] = p
+        slot_ids = self._put(out, P(None, AXIS))
         return slot_ids, plans
 
     def finish_prepare(self, plans) -> None:
         self._drain_writebacks()
         self.stats.prepare_calls += 1
-        self.stats.num_hits_history.append(sum(p.n_hit_unique for p in plans))
+        self.stats.num_hits_history.append(
+            sum(p.n_hit_unique for p in plans if p is not None)
+        )
         self.stats.num_miss_history.append(
-            sum(int(p.admit_rows.shape[0]) for p in plans)
+            sum(int(p.admit_rows.shape[0]) for p in plans if p is not None)
         )
-        for r, p in enumerate(plans):
-            self._stage_rank(r, p)
+        self._stage_all(plans)
 
-    def _stage_rank(self, r: int, p) -> None:
-        n_miss = int(p.admit_rows.shape[0])
-        if n_miss == 0:
+    def _stage_all(self, plans) -> None:
+        """ONE lockstep device program stages every rank's window: gather the
+        evicted occupants (writeback reads), then scatter the admits — every
+        controller dispatches the identical global program (per-rank loops of
+        device ops would diverge across processes and deadlock the SPMD
+        stream). Padded width is agreed across processes."""
+        n_miss = {
+            r: int(plans[r].admit_rows.shape[0]) for r in self.local_ranks
+            if plans[r] is not None
+        }
+        b = self._global_max(max(
+            [_bucket(n) for n in n_miss.values() if n > 0], default=0
+        ))
+        if b == 0:
             return
-        b = _bucket(n_miss)
-        slots_c = np.full((b,), -1, np.int32)
-        slots_c[:n_miss] = p.admit_slots
-        slots_dev = jnp.array(slots_c)
-        wb_mask = p.evict_rows >= 0
-        if wb_mask.any():
-            vals_dev = _gather_rank(self.cache_weight, jnp.asarray(r), slots_dev)
-            self._pending_wb.append((r, p.evict_rows[wb_mask], wb_mask, n_miss, vals_dev))
+        w, D = self.world, self.embedding_dim
+        slots_all = np.full((w, b), -1, np.int32)
+        vals_all = np.zeros((w, b, D), np.float32)
+        wb_records = []
         t0 = __import__("time").perf_counter()
-        rows_c = np.zeros((b,), np.int64)
-        rows_c[:n_miss] = p.admit_rows
-        vals = self.host_tables[r].gather(rows_c)
-        self.cache_weight = _scatter_rank(
-            self.cache_weight, jnp.asarray(r), slots_dev, jnp.array(vals)
-        )
-        self.stats.swap_in_bytes += n_miss * self.embedding_dim * 4
+        for r, n in n_miss.items():
+            if n == 0:
+                continue
+            p = plans[r]
+            slots_all[r, :n] = p.admit_slots
+            rows_c = np.zeros((b,), np.int64)
+            rows_c[:n] = p.admit_rows
+            vals_all[r] = self.host_tables[r].gather(rows_c)
+            wb_mask = p.evict_rows >= 0
+            if wb_mask.any():
+                wb_records.append((r, p.evict_rows[wb_mask], wb_mask, n))
+            self.stats.swap_in_bytes += n * D * 4
         self.stats.swap_in_time += __import__("time").perf_counter() - t0
+        self.cache_weight, wb_vals = _stage_all_op(
+            self.cache_weight,
+            self._put(slots_all, P(AXIS)),
+            self._put(vals_all, P(AXIS)),
+        )
+        if wb_records:
+            self._pending_wb.append((wb_vals, wb_records))
 
     def _drain_writebacks(self) -> None:
-        for r, ev_rows, wb_mask, n, vals_dev in self._pending_wb:
-            vals = np.asarray(vals_dev)
-            self.host_tables[r].scatter(ev_rows, vals[:n][wb_mask])
-            self.stats.swap_out_bytes += ev_rows.shape[0] * self.embedding_dim * 4
+        for wb_vals, records in self._pending_wb:
+            by_rank = {
+                self._dev_rank[sh.device]: sh.data
+                for sh in wb_vals.addressable_shards
+            }
+            for r, ev_rows, wb_mask, n, in records:
+                vals = np.asarray(by_rank[r]).reshape(-1, self.embedding_dim)
+                self.host_tables[r].scatter(ev_rows, vals[:n][wb_mask])
+                self.stats.swap_out_bytes += ev_rows.shape[0] * self.embedding_dim * 4
         self._pending_wb.clear()
 
     def _warmup(self, warmup_ratio: float) -> None:
         cw = np.zeros((self.world, self.C_max, self.embedding_dim), np.float32)
-        for r, ts in enumerate(self.tables_of_rank):
+        for r in self.local_ranks:
+            ts = self.tables_of_rank[r]
             freq = np.zeros((self.N_max,), np.int64)
             off = 0
             for t in ts:
@@ -358,24 +431,36 @@ class ParallelCachedEmbeddingBagTablewise:
             top = np.argpartition(freq[: self.local_sizes[r]], -k)[-k:].astype(np.int64)
             self.dirs[r].warmup(top, np.minimum(freq[top], 2**31 - 1))
             cw[r, :k] = self.host_tables[r].gather(top)
-        self.cache_weight = jax.device_put(
-            jnp.asarray(cw), NamedSharding(self.mesh, P(AXIS))
-        )
+        # P(AXIS) device_put ships only this controller's addressable shards;
+        # remote ranks' (zero) blocks are filled by their own controller.
+        self.cache_weight = self._put(cw, P(AXIS))
 
     def flush(self) -> None:
         self._drain_writebacks()
-        for r in range(self.world):
+        resident = {}
+        for r in self.local_ranks:
             slots, rows = self.dirs[r].resident()
             real = rows != self.pad_row
             slots, rows = slots[real], rows[real]
-            if slots.size == 0:
-                continue
-            b = _bucket(slots.size)
-            slots_c = np.full((b,), -1, np.int32)
-            slots_c[: slots.size] = slots
-            vals = np.asarray(
-                _gather_rank(self.cache_weight, jnp.asarray(r), jnp.array(slots_c))
-            )
+            if slots.size:
+                resident[r] = (slots, rows)
+        b = self._global_max(max(
+            [_bucket(s.size) for s, _ in resident.values()], default=0
+        ))
+        if b == 0:
+            return
+        slots_all = np.full((self.world, b), -1, np.int32)
+        for r, (slots, _) in resident.items():
+            slots_all[r, : slots.size] = slots
+        vals_dev = _gather_all_op(
+            self.cache_weight, self._put(slots_all, P(AXIS))
+        )
+        by_rank = {
+            self._dev_rank[sh.device]: sh.data
+            for sh in vals_dev.addressable_shards
+        }
+        for r, (slots, rows) in resident.items():
+            vals = np.asarray(by_rank[r]).reshape(-1, self.embedding_dim)
             self.host_tables[r].scatter(rows, vals[: slots.size])
 
     def print_comm_stats(self) -> None:
@@ -394,15 +479,53 @@ class ParallelCachedEmbeddingBagTablewise:
         return perm
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _scatter_rank(cache, r, slots, vals):
-    C = cache.shape[1]
-    return cache.at[r, jnp.where(slots >= 0, slots, C)].set(vals, mode="drop")
+def _stage_inner(cache_r, slots_r, vals_r):
+    """Per-device window staging: read the admit slots' CURRENT occupants
+    (the eviction writeback payload), then land the admits."""
+    c0, s0, v0 = cache_r[0], slots_r[0], vals_r[0]
+    C = c0.shape[0]
+    wb = c0[jnp.clip(s0, 0, C - 1)]
+    c0 = c0.at[jnp.where(s0 >= 0, s0, C)].set(v0, mode="drop")
+    return c0[None], wb[None]
 
 
-@jax.jit
-def _gather_rank(cache, r, slots):
-    return cache[r, jnp.clip(slots, 0, cache.shape[1] - 1)]
+_STAGE_CACHE: dict = {}
+
+
+def _stage_all_op(cache, slots, vals):
+    """One lockstep shard_map program staging every rank's admits/writebacks —
+    identical dispatch on every controller (multi-process safe)."""
+    key = ("stage", cache.shape, slots.shape, str(cache.sharding))
+    if key not in _STAGE_CACHE:
+        mesh = cache.sharding.mesh
+        _STAGE_CACHE[key] = jax.jit(
+            jax.shard_map(
+                _stage_inner, mesh=mesh,
+                in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+                out_specs=(P(AXIS), P(AXIS)), check_vma=False,
+            ),
+            donate_argnums=(0,),
+        )
+    return _STAGE_CACHE[key](cache, slots, vals)
+
+
+def _gather_all_op(cache, slots):
+    """Lockstep per-rank slot gather (flush reads)."""
+    key = ("gather", cache.shape, slots.shape, str(cache.sharding))
+    if key not in _STAGE_CACHE:
+        mesh = cache.sharding.mesh
+
+        def inner(cache_r, slots_r):
+            c0, s0 = cache_r[0], slots_r[0]
+            return c0[jnp.clip(s0, 0, c0.shape[0] - 1)][None]
+
+        _STAGE_CACHE[key] = jax.jit(
+            jax.shard_map(
+                inner, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+                out_specs=P(AXIS), check_vma=False,
+            )
+        )
+    return _STAGE_CACHE[key](cache, slots)
 
 
 
@@ -549,7 +672,9 @@ def tablewise_eval_step(
     mode: str = "sum",
     compute_dtype=jnp.float32,
 ):
-    """Forward-only windowed tablewise scoring: (P, B_global) Sigmoid probs."""
+    """Forward-only windowed tablewise scoring: (P, B_global) Sigmoid probs,
+    REPLICATED (an in-program all_gather) so the host metric readback works
+    when the mesh spans processes."""
     from cachedembedding_tpu.models.dlrm import dlrm_dense_forward
     from cachedembedding_tpu.ops.embedding_bag import bag_pool_uniform
 
@@ -572,13 +697,14 @@ def tablewise_eval_step(
             logits = dlrm_dense_forward(dense_params, d_local, emb, compute_dtype)
             return jax.nn.sigmoid(logits)  # (B_local,)
 
-        return jax.vmap(score)(slot_ids_r, dense_local)  # (P, B_local)
+        probs = jax.vmap(score)(slot_ids_r, dense_local)  # (P, B_local)
+        return jax.lax.all_gather(probs, AXIS, axis=1, tiled=True)
 
     mapped = jax.shard_map(
         inner,
         mesh=mesh,
         in_specs=(P(), P(AXIS), P(None, AXIS), P(None, AXIS)),
-        out_specs=P(None, AXIS),
+        out_specs=P(),
         check_vma=False,
     )
     return jax.jit(mapped)

@@ -35,6 +35,9 @@ BASE_ARGS = COMMON + ["--transfer_dtype", "int8", "--use_overlap"]
 # row-sharded cached: per-process host-table shards + directories, the
 # >=2-host memory shape (parallel/row_cached.py)
 ROWWISE_ARGS = COMMON + ["--use_rowwise"]
+# tablewise (EP-style): each controller owns whole tables' host shards +
+# directories; admits/writebacks stage through ONE lockstep shard_map program
+TABLEWISE_ARGS = COMMON + ["--use_tablewise"]
 
 
 def _free_port() -> int:
@@ -105,6 +108,20 @@ def test_two_process_cached_mesh_matches_single_process():
     assert "swap_out" in outs[0]  # churn stats printed (readback path ran)
 
     ms = _run_single(BASE_ARGS)
+    for stage in ("val", "test"):
+        assert m0[stage] == ms[stage], (
+            f"{stage}: 2-process {m0[stage]} != single-process {ms[stage]}"
+        )
+
+
+def test_two_process_tablewise_matches_single_process():
+    """Tablewise (EP-style) under 2 real processes: per-controller table
+    ownership, lockstep admit/writeback staging, replicated eval probs."""
+    outs = _run_two_process(TABLEWISE_ARGS)
+    m0, m1 = _metrics(outs[0]), _metrics(outs[1])
+    assert m0 == m1, f"ranks disagree: {m0} vs {m1}"
+    ms = _run_single(TABLEWISE_ARGS)
+    assert m0["loss"] == ms["loss"]
     for stage in ("val", "test"):
         assert m0[stage] == ms[stage], (
             f"{stage}: 2-process {m0[stage]} != single-process {ms[stage]}"
