@@ -165,7 +165,9 @@ class HybridParallelDLRM:
 
     def _replicated(self, x):
         """Small scalars/vectors as explicitly-replicated global arrays —
-        committed process-local arrays can't feed a multi-process program."""
+        committed process-local arrays can't feed a multi-process program.
+        (LR values are identical on every process, so plain device_put's
+        cross-process equality contract holds.)"""
         return jax.device_put(
             np.asarray(x, np.float32), NamedSharding(self.mesh, P())
         )

@@ -41,10 +41,10 @@ class ParallelCachedEmbeddingBag(CachedEmbeddingBag):
         self.cache_weight = jax.device_put(self.cache_weight, sharding)
         # Readbacks of dim-sharded values (eviction writebacks, flush) must be
         # replicated first when the mesh spans multiple processes: np.asarray
-        # of a non-addressable array raises. One jitted identity per
-        # shape/dtype; XLA lowers it to an all-gather over the mesh.
-        rep = NamedSharding(self.mesh, P())
-        self._rep = jax.jit(lambda x: x, out_shardings=rep)
+        # of a non-addressable array raises (parallel/multiproc.py rules).
+        from cachedembedding_tpu.parallel.multiproc import replicate_fn
+
+        self._rep = replicate_fn(self.mesh)
 
     @property
     def dim_per_rank(self) -> int:

@@ -247,23 +247,34 @@ class RowShardedCachedEmbeddingBag:
 
     def dense_weight(self) -> np.ndarray:
         """Full (num_embeddings, D) master after flush (test/checkpoint path).
-        Multi-process: every controller returns the SAME full master —
-        local host-table shards are exchanged over the collective fabric."""
+        Multi-process: every controller returns the SAME full master — each
+        shard is broadcast from its owner ONE SHARD AT A TIME, so peak extra
+        DRAM is one (per, D) block, never n_processes full-table copies."""
         self.flush()
-        rows = [
-            np.asarray(m.host_table.gather(np.arange(self.per, dtype=np.int64)))
-            if m is not None
-            else np.zeros((self.per, self.embedding_dim), np.float32)
-            for m in self.shards
-        ]
-        full = np.concatenate(rows, axis=0)
-        if self.multiproc:
-            from jax.experimental import multihost_utils
+        if not self.multiproc:
+            rows = [
+                np.asarray(
+                    m.host_table.gather(np.arange(self.per, dtype=np.int64))
+                )
+                for m in self.shards
+            ]
+            return np.concatenate(rows, axis=0)[: self.num_embeddings]
+        from jax.experimental import multihost_utils
 
-            full = np.sum(
-                multihost_utils.process_allgather(full), axis=0
-            )  # disjoint shards: zeros elsewhere, sum = union
-        return full[: self.num_embeddings]
+        blocks = []
+        for m in self.shards:
+            blk = (
+                np.asarray(
+                    m.host_table.gather(np.arange(self.per, dtype=np.int64)),
+                    np.float32,
+                )
+                if m is not None
+                else np.zeros((self.per, self.embedding_dim), np.float32)
+            )
+            blocks.append(
+                multihost_utils.broadcast_one_to_all(blk, is_source=m is not None)
+            )
+        return np.concatenate(blocks, axis=0)[: self.num_embeddings]
 
 
 def _bucket_with_positions(enc: jnp.ndarray, owners: jnp.ndarray, w: int, V: int):

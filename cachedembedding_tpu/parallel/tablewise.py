@@ -40,6 +40,7 @@ from cachedembedding_tpu.cache.manager import CacheStats, _bucket, default_table
 from cachedembedding_tpu.cache.host_directory import make_directory
 from cachedembedding_tpu.cache.state import EvictionStrategy
 from cachedembedding_tpu.parallel.mesh import AXIS
+from cachedembedding_tpu.parallel.multiproc import global_max, put_addressable
 
 
 @dataclasses.dataclass
@@ -294,22 +295,7 @@ class ParallelCachedEmbeddingBagTablewise:
         return out
 
     def _put(self, arr: np.ndarray, spec: P):
-        """Host array -> global sharded array, materializing ONLY this
-        controller's addressable shards (jax.device_put would assert the
-        value equal across processes; per-rank lanes are filled only by
-        their owner here)."""
-        return jax.make_array_from_callback(
-            arr.shape, NamedSharding(self.mesh, spec), lambda idx: arr[idx]
-        )
-
-    def _global_max(self, v: int) -> int:
-        """Largest value across processes (padded-shape agreement: every
-        controller must dispatch identically-shaped global programs)."""
-        if not self.multiproc:
-            return int(v)
-        from jax.experimental import multihost_utils
-
-        return int(np.max(multihost_utils.process_allgather(np.int32(v))))
+        return put_addressable(self.mesh, arr, spec)
 
     def begin_prepare(self, ids_bf: np.ndarray):
         """Plan the LOCAL ranks' batch on the host (native C++ directories, no
@@ -370,7 +356,7 @@ class ParallelCachedEmbeddingBagTablewise:
             r: int(plans[r].admit_rows.shape[0]) for r in self.local_ranks
             if plans[r] is not None
         }
-        b = self._global_max(max(
+        b = global_max(max(
             [_bucket(n) for n in n_miss.values() if n > 0], default=0
         ))
         if b == 0:
@@ -385,9 +371,9 @@ class ParallelCachedEmbeddingBagTablewise:
                 continue
             p = plans[r]
             slots_all[r, :n] = p.admit_slots
-            rows_c = np.zeros((b,), np.int64)
-            rows_c[:n] = p.admit_rows
-            vals_all[r] = self.host_tables[r].gather(rows_c)
+            vals_all[r, :n] = self.host_tables[r].gather(
+                np.ascontiguousarray(p.admit_rows, np.int64)
+            )
             wb_mask = p.evict_rows >= 0
             if wb_mask.any():
                 wb_records.append((r, p.evict_rows[wb_mask], wb_mask, n))
@@ -444,7 +430,7 @@ class ParallelCachedEmbeddingBagTablewise:
             slots, rows = slots[real], rows[real]
             if slots.size:
                 resident[r] = (slots, rows)
-        b = self._global_max(max(
+        b = global_max(max(
             [_bucket(s.size) for s, _ in resident.values()], default=0
         ))
         if b == 0:
@@ -495,7 +481,7 @@ _STAGE_CACHE: dict = {}
 def _stage_all_op(cache, slots, vals):
     """One lockstep shard_map program staging every rank's admits/writebacks —
     identical dispatch on every controller (multi-process safe)."""
-    key = ("stage", cache.shape, slots.shape, str(cache.sharding))
+    key = ("stage", cache.shape, slots.shape, cache.dtype, cache.sharding)
     if key not in _STAGE_CACHE:
         mesh = cache.sharding.mesh
         _STAGE_CACHE[key] = jax.jit(
@@ -511,7 +497,7 @@ def _stage_all_op(cache, slots, vals):
 
 def _gather_all_op(cache, slots):
     """Lockstep per-rank slot gather (flush reads)."""
-    key = ("gather", cache.shape, slots.shape, str(cache.sharding))
+    key = ("gather", cache.shape, slots.shape, cache.dtype, cache.sharding)
     if key not in _STAGE_CACHE:
         mesh = cache.sharding.mesh
 

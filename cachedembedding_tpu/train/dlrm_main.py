@@ -422,11 +422,12 @@ def run_rowwise(args, cfg, freq) -> None:
     from jax.sharding import NamedSharding, PartitionSpec as PS
 
     from cachedembedding_tpu.parallel.mesh import AXIS
+    from cachedembedding_tpu.parallel.multiproc import replicate_fn
 
     def put(x, *spec):
         return jax.device_put(x, NamedSharding(mesh, PS(*spec)))
 
-    replicate = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, PS()))
+    replicate = replicate_fn(mesh)
     dp = put(dp)
 
     def per_rank_ids(batch):
@@ -563,6 +564,12 @@ def main(argv=None) -> None:
         import jax
 
         if args.coordinator_address:
+            if args.num_processes is None or args.process_id is None:
+                sys.exit(
+                    "--coordinator_address requires --num_processes and "
+                    "--process_id (jax.distributed cannot autodetect them "
+                    "off-pod)"
+                )
             jax.distributed.initialize(
                 coordinator_address=args.coordinator_address,
                 num_processes=args.num_processes,

@@ -74,35 +74,42 @@ def _run_single(extra_args) -> dict:
     return _metrics(r.stdout)
 
 
-def _run_two_process(extra_args) -> list:
+def _run_two_process(extra_args, tmpdir) -> list:
+    # ranks write to FILES: draining two live PIPEs sequentially can deadlock
+    # both ranks once one fills its pipe buffer mid-collective
     port = _free_port()
-    procs = []
+    procs, files = [], []
     for pid in range(2):
         cmd = [sys.executable, "-m", "cachedembedding_tpu.train.dlrm_main",
                "--multihost", "--coordinator_address", f"127.0.0.1:{port}",
                "--num_processes", "2", "--process_id", str(pid)] + extra_args
+        out_f = open(os.path.join(tmpdir, f"rank{pid}.log"), "w+")
+        files.append(out_f)
         procs.append(subprocess.Popen(
             cmd, env=_env(2), cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            stdout=out_f, stderr=subprocess.STDOUT, text=True,
         ))
     outs = []
-    for p in procs:
+    for p, f in zip(procs, files):
         try:
-            out, err = p.communicate(timeout=420)
+            p.wait(timeout=420)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
-        assert p.returncode == 0, f"multiproc rank failed:\n{out[-1500:]}\n{err[-1500:]}"
+        f.seek(0)
+        out = f.read()
+        f.close()
+        assert p.returncode == 0, f"multiproc rank failed:\n{out[-3000:]}"
         outs.append(out)
     return outs
 
 
-def test_two_process_cached_mesh_matches_single_process():
+def test_two_process_cached_mesh_matches_single_process(tmp_path):
     """Column-wise hybrid: 2 processes x 2 devices == 1 process x 4 devices,
     bit-for-bit metrics, through eviction churn (swap_out > 0) + int8 admits
     + device-synth rows."""
-    outs = _run_two_process(BASE_ARGS)
+    outs = _run_two_process(BASE_ARGS, str(tmp_path))
     m0, m1 = _metrics(outs[0]), _metrics(outs[1])
     assert m0 == m1, f"ranks disagree: {m0} vs {m1}"
     assert "swap_out" in outs[0]  # churn stats printed (readback path ran)
@@ -114,10 +121,10 @@ def test_two_process_cached_mesh_matches_single_process():
         )
 
 
-def test_two_process_tablewise_matches_single_process():
+def test_two_process_tablewise_matches_single_process(tmp_path):
     """Tablewise (EP-style) under 2 real processes: per-controller table
     ownership, lockstep admit/writeback staging, replicated eval probs."""
-    outs = _run_two_process(TABLEWISE_ARGS)
+    outs = _run_two_process(TABLEWISE_ARGS, str(tmp_path))
     m0, m1 = _metrics(outs[0]), _metrics(outs[1])
     assert m0 == m1, f"ranks disagree: {m0} vs {m1}"
     ms = _run_single(TABLEWISE_ARGS)
@@ -128,12 +135,12 @@ def test_two_process_tablewise_matches_single_process():
         )
 
 
-def test_two_process_rowwise_matches_single_process():
+def test_two_process_rowwise_matches_single_process(tmp_path):
     """Row-sharded cached (the >=2-host shape): each controller constructs
     ONLY its own host-table shards + planners in its own address space; slot
     assignments are exchanged over the collective fabric. Metrics and final
     loss bit-identical to the single-process mesh."""
-    outs = _run_two_process(ROWWISE_ARGS)
+    outs = _run_two_process(ROWWISE_ARGS, str(tmp_path))
     m0, m1 = _metrics(outs[0]), _metrics(outs[1])
     assert m0 == m1, f"ranks disagree: {m0} vs {m1}"
     # per-host planners are genuinely independent: each rank reports ITS
