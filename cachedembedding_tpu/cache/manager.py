@@ -628,6 +628,36 @@ class CachedEmbeddingBag:
         out[is_res] = (ids_np[is_res] + self._res_delta[t[is_res]]).astype(np.int32)
         return out, ~is_res, np.ascontiguousarray(ids_np[~is_res], np.int32)
 
+    def _plan_window_uniform(self, ids_np: np.ndarray, P: int, Bp: int):
+        """Layout-aware _plan_window for uniform packed windows: ids arrive as
+        P stacked (F, Bp) blocks, so each element's TABLE is known from its
+        position — no per-id searchsorted, no boolean-mask passes (those cost
+        ~80 ms/window = half the host budget at the headline config;
+        benchmark/microbench_hostplan.py). Same validation and identical
+        output as _translate_ids + _dir.plan on the flat stream."""
+        F = len(self.table_sizes)
+        v = ids_np.reshape(P, F, Bp)
+        if ids_np.size:
+            lo, hi = int(ids_np.min()), int(ids_np.max())
+            if lo < 0 or hi >= self.num_embeddings:
+                raise ValueError(
+                    f"embedding ids out of range [0, {self.num_embeddings}): "
+                    f"min={lo} max={hi}"
+                )
+        res_t = np.nonzero(self._is_res_table[:F])[0]
+        cac_t = np.nonzero(~self._is_res_table[:F])[0]
+        out = np.empty((P, F, Bp), np.int32)
+        if res_t.size:
+            # one vectorized add per window: (P, n_res, Bp) + per-table delta
+            out[:, res_t, :] = v[:, res_t, :] + self._res_delta[res_t].astype(
+                np.int32
+            )[None, :, None]
+        # cached sub-stream in FLAT order ((p, t, b) lexicographic == flat):
+        cids = np.ascontiguousarray(v[:, cac_t, :].reshape(-1))
+        hp = self._dir.plan(cids)
+        out[:, cac_t, :] = hp.slot_ids.reshape(P, cac_t.size, Bp)
+        return hp, out.reshape(-1)
+
     def _flush_resident(self) -> None:
         """Write the resident region back to the host table (checkpoint/eval
         snapshot coherence — resident rows otherwise live only in HBM)."""
@@ -835,7 +865,7 @@ class CachedEmbeddingBag:
         self._submit_writebacks()
 
     # -- staged window API (fused-program admits; trainer packed path) --------
-    def begin_window_staging(self, ids, out_shape) -> WindowStaging:
+    def begin_window_staging(self, ids, out_shape, uniform_fbp=None) -> WindowStaging:
         """Plan a window and prepare its admits as PACKABLE host arrays: the
         trainer folds them into the window program's single input transfer and
         the program itself lands the rows (synth + fetched scatters) before
@@ -844,7 +874,14 @@ class CachedEmbeddingBag:
         the PREVIOUS window (and before dispatching this one)."""
         assert self._dir is not None, "staged windows require the host planner"
         ids_np = np.ascontiguousarray(np.asarray(ids), dtype=np.int32)
-        hp, slot_full = self._plan_window(ids_np)
+        if uniform_fbp is not None and self.resident_tables:
+            # caller guarantees P stacked (F, Bp) feature-major blocks —
+            # positional table mapping, no per-id searchsorted
+            Pw, Fw, Bp = uniform_fbp
+            assert Fw == len(self.table_sizes) and Pw * Fw * Bp == ids_np.size
+            hp, slot_full = self._plan_window_uniform(ids_np, Pw, Bp)
+        else:
+            hp, slot_full = self._plan_window(ids_np)
         self.stats.prepare_calls += 1
         self.stats.num_hits_history.append(hp.n_hit_unique)
         n_miss = int(hp.admit_rows.shape[0])

@@ -1170,7 +1170,10 @@ class CachedDLRMTrainer:
                 and self.embed._dir is not None
             )
             if staged:
-                ws = self.embed.begin_window_staging(all_ids, (P, L))
+                ws = self.embed.begin_window_staging(
+                    all_ids, (P, L),
+                    uniform_fbp=(P, f0.num_features, L // f0.num_features),
+                )
                 slot_ids_np, extras = ws.slot_ids, ws
             else:
                 pw = self.embed.begin_prepare(

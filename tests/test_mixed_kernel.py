@@ -137,3 +137,40 @@ def test_mixed_adagrad():
     trainer = CachedDLRMTrainer(cfg)
     rep = trainer.train(_data(cfg, 4), num_iters=4)
     assert np.isfinite(rep.losses).all()
+
+
+def test_uniform_layout_plan_matches_generic():
+    """The positional-layout window plan (_plan_window_uniform) must produce
+    the identical full-stream device addresses and the identical cached
+    sub-stream plan as the generic searchsorted translate, including resident
+    address placement interleaved with cache slots."""
+    import numpy as np
+
+    from cachedembedding_tpu.cache.manager import CachedEmbeddingBag
+
+    tables = [500, 64, 300, 48]  # tables 1 and 3 resident at threshold 100
+    rng = np.random.default_rng(3)
+    bag_a = CachedEmbeddingBag(
+        sum(tables), 8, cache_ratio=0.5, table_sizes=tables, seed=11,
+        planner="host", resident_tables=[1, 3],
+    )
+    bag_b = CachedEmbeddingBag(
+        sum(tables), 8, cache_ratio=0.5, table_sizes=tables, seed=11,
+        planner="host", resident_tables=[1, 3],
+    )
+    P, F, Bp = 3, 4, 32
+    offs = np.concatenate([[0], np.cumsum(tables)])
+    for _ in range(4):  # several windows: directory state must stay in sync
+        ids = np.concatenate([
+            np.stack([
+                rng.integers(offs[t], offs[t + 1], size=Bp) for t in range(F)
+            ]).reshape(-1)
+            for _ in range(P)
+        ]).astype(np.int32)
+        hp_a, full_a = bag_a._plan_window_uniform(ids.copy(), P, Bp)
+        hp_b, full_b = bag_b._plan_window(ids.copy())
+        assert np.array_equal(full_a, full_b)
+        assert np.array_equal(hp_a.slot_ids, hp_b.slot_ids)
+        assert np.array_equal(hp_a.admit_rows, hp_b.admit_rows)
+        assert np.array_equal(hp_a.admit_slots, hp_b.admit_slots)
+        assert np.array_equal(hp_a.evict_rows, hp_b.evict_rows)
