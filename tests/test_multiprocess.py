@@ -135,6 +135,56 @@ def test_two_process_tablewise_matches_single_process(tmp_path):
         )
 
 
+def test_two_process_rowwise_flush_master_identical(tmp_path):
+    """dense_weight() under multi-process: after eviction churn + flush,
+    every controller reconstructs the SAME full master (per-shard owner
+    broadcast), equal to the single-process master on the same stream."""
+    import numpy as np
+
+    helper = os.path.join(REPO, "tests", "helpers", "mp_rowwise_flush.py")
+    port = _free_port()
+    procs, files = [], []
+    for pid in range(2):
+        out_f = open(os.path.join(str(tmp_path), f"fl{pid}.log"), "w+")
+        files.append(out_f)
+        env = _env(2)
+        env["MASTER_OUT"] = os.path.join(str(tmp_path), f"master{pid}.npy")
+        procs.append(subprocess.Popen(
+            [sys.executable, helper, f"127.0.0.1:{port}", "2", str(pid)],
+            env=env, cwd=REPO, stdout=out_f, stderr=subprocess.STDOUT,
+        ))
+    digests = []
+    for p, f in zip(procs, files):
+        try:
+            p.wait(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        f.seek(0)
+        out = f.read()
+        f.close()
+        assert p.returncode == 0, out[-3000:]
+        g = re.search(r"MASTER_DIGEST (\w+)", out)
+        assert g, out[-2000:]
+        digests.append(g.group(1))
+    # every controller reconstructs the SAME bytes (the owner-broadcast path)
+    assert digests[0] == digests[1], "controllers reconstructed different masters"
+
+    env = _env(4)
+    env["MASTER_OUT"] = os.path.join(str(tmp_path), "master_single.npy")
+    r = subprocess.run([sys.executable, helper], env=env, cwd=REPO,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    # vs single-process: allclose, NOT byte-equal — the dense-grad psum
+    # reduces in a different association over Gloo than in-process XLA,
+    # so trained rows differ by ULPs (metrics equality is covered by
+    # test_two_process_rowwise_matches_single_process)
+    m_mp = np.load(os.path.join(str(tmp_path), "master0.npy"))
+    m_sp = np.load(os.path.join(str(tmp_path), "master_single.npy"))
+    np.testing.assert_allclose(m_mp, m_sp, rtol=1e-4, atol=1e-5)
+
+
 def test_two_process_rowwise_matches_single_process(tmp_path):
     """Row-sharded cached (the >=2-host shape): each controller constructs
     ONLY its own host-table shards + planners in its own address space; slot
