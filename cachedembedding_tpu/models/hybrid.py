@@ -157,20 +157,21 @@ class HybridParallelDLRM:
         return self._steps[key]
 
     def shard_batch(self, dense: np.ndarray, labels: np.ndarray):
-        sh = NamedSharding(self.mesh, P(AXIS))
+        from cachedembedding_tpu.parallel.multiproc import put_addressable
+
         return (
-            jax.device_put(np.asarray(dense), sh),
-            jax.device_put(np.asarray(labels, np.float32), sh),
+            put_addressable(self.mesh, np.asarray(dense), P(AXIS)),
+            put_addressable(self.mesh, np.asarray(labels, np.float32), P(AXIS)),
         )
 
     def _replicated(self, x):
         """Small scalars/vectors as explicitly-replicated global arrays —
-        committed process-local arrays can't feed a multi-process program.
-        (LR values are identical on every process, so plain device_put's
-        cross-process equality contract holds.)"""
-        return jax.device_put(
-            np.asarray(x, np.float32), NamedSharding(self.mesh, P())
-        )
+        committed process-local arrays can't feed a multi-process program
+        (and device_put of host values would allgather them as an equality
+        check; values here are deterministic per process)."""
+        from cachedembedding_tpu.parallel.multiproc import put_addressable
+
+        return put_addressable(self.mesh, np.asarray(x, np.float32), P())
 
     def _window_step_fn(self, kind: str, global_batch: int):
         key = (kind, global_batch)
@@ -191,14 +192,17 @@ class HybridParallelDLRM:
         execute per window per mesh (slot_ids from begin_prepare_window)."""
         assert self.use_tablewise
         B = dense_P.shape[1]
+        from cachedembedding_tpu.parallel.multiproc import put_addressable
+
         step = self._window_step_fn("train_window", B)
-        sh = NamedSharding(self.mesh, P(None, AXIS))
         self.dense_params, new_cache, losses = step(
             self.dense_params,
             self.embed.cache_weight,
             slot_ids,
-            jax.device_put(np.asarray(dense_P), sh),
-            jax.device_put(np.asarray(labels_P, np.float32), sh),
+            put_addressable(self.mesh, np.asarray(dense_P), P(None, AXIS)),
+            put_addressable(
+                self.mesh, np.asarray(labels_P, np.float32), P(None, AXIS)
+            ),
             self._replicated(sparse_lrs),
             self._replicated(dense_lrs),
         )
@@ -209,13 +213,14 @@ class HybridParallelDLRM:
         """Tablewise windowed scoring -> (P, B_global) probabilities."""
         assert self.use_tablewise
         B = dense_P.shape[1]
+        from cachedembedding_tpu.parallel.multiproc import put_addressable
+
         step = self._window_step_fn("eval_window", B)
-        sh = NamedSharding(self.mesh, P(None, AXIS))
         return step(
             self.dense_params,
             self.embed.cache_weight,
             slot_ids,
-            jax.device_put(np.asarray(dense_P), sh),
+            put_addressable(self.mesh, np.asarray(dense_P), P(None, AXIS)),
         )
 
     def train_step(self, dense, sparse_slot_values, labels, sparse_lr, dense_lr):

@@ -422,13 +422,18 @@ def run_rowwise(args, cfg, freq) -> None:
     from jax.sharding import NamedSharding, PartitionSpec as PS
 
     from cachedembedding_tpu.parallel.mesh import AXIS
-    from cachedembedding_tpu.parallel.multiproc import replicate_fn
+    from cachedembedding_tpu.parallel.multiproc import (
+        put_addressable,
+        replicate_fn,
+    )
 
     def put(x, *spec):
-        return jax.device_put(x, NamedSharding(mesh, PS(*spec)))
+        # not device_put: multi-process device_put of host values allgathers
+        # the full value as an equality check — a per-window wire tax
+        return put_addressable(mesh, np.asarray(x), PS(*spec))
 
     replicate = replicate_fn(mesh)
-    dp = put(dp)
+    dp = jax.device_put(dp, NamedSharding(mesh, PS()))  # once, at startup
 
     def per_rank_ids(batch):
         f = batch.sparse_features

@@ -1309,12 +1309,18 @@ class CachedDLRMTrainer:
             )
             pw_out = extras if extras is not None else pw
             if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as PS
+                from jax.sharding import PartitionSpec as PS
 
                 from cachedembedding_tpu.parallel.mesh import AXIS
+                from cachedembedding_tpu.parallel.multiproc import (
+                    put_addressable,
+                )
 
-                rep = NamedSharding(self.mesh, PS())
-                shd = NamedSharding(self.mesh, PS(None, AXIS))  # batch axis 1
+                # put_addressable, not device_put: multi-process device_put
+                # of a host value allgathers the FULL value across processes
+                # as an equality check (jax dispatch.py) — a per-window DCN
+                # tax on pods. Values here are deterministic per process.
+                rep, shd = PS(), PS(None, AXIS)  # batch axis 1
                 if dmode == "int8":
                     # same range-scaled uint8 wire as the single-chip packed
                     # path; the (scale, lo) meta rides the TAIL of the
@@ -1327,9 +1333,10 @@ class CachedDLRMTrainer:
                     dense_np = np.stack(
                         [np.asarray(b.dense_features, ddt) for b in batches]
                     )
-                buf_dev = jax.device_put(np.concatenate(parts), rep)
-                dense_dev = jax.device_put(dense_np, shd)
-                labels_dev = jax.device_put(
+                buf_dev = put_addressable(self.mesh, np.concatenate(parts), rep)
+                dense_dev = put_addressable(self.mesh, dense_np, shd)
+                labels_dev = put_addressable(
+                    self.mesh,
                     np.stack(
                         [np.asarray(b.labels, np.float32) for b in batches]
                     ),
