@@ -50,9 +50,18 @@ def _unflatten_like(template, flat: Dict[str, np.ndarray]):
 
 
 def save_checkpoint(path: str, trainer, extra: Dict[str, Any] | None = None) -> None:
-    """Save a CachedDLRMTrainer (or anything with .dense_params/.embed/._step_idx)."""
+    """Save a CachedDLRMTrainer (or anything with .dense_params/.embed/._step_idx).
+
+    Multi-process (column-wise mesh over a pod): every controller flushes —
+    the replicated host master becomes coherent on each — but only process 0
+    WRITES, so checkpointing onto a shared filesystem never races. Per-host
+    paths also work (each host would then need its own save call gating
+    removed — process 0's files are authoritative either way since the
+    master is replicated)."""
     os.makedirs(path, exist_ok=True)
     trainer.embed.flush()
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     np.savez(os.path.join(path, "dense_params.npz"), **_flatten(trainer.dense_params))
 
     from cachedembedding_tpu.cache.host_table import DenseHostTable, VirtualHostTable
