@@ -160,6 +160,103 @@ void pack_ids_u8(const int32_t* ids, int64_t n, int64_t width_bits, uint8_t* out
   }
 }
 
+// Escape-coded pack of a whole uniform window: slot3 is (P, F, Bf) C-order;
+// feature f packs at widths[f] bits after subtracting deltas[f]; when
+// widths[f] < plain_widths[f] (a narrowed feature), values whose local id
+// does not fit are recorded as (flat position, RAW id) escapes and their
+// base lanes masked. Output blocks are feature-major at out_offsets[f].
+// Escapes are ordered (feature, p, j) — identical to the python encoder.
+// Returns the escape count, or -1 when it exceeds max_overflow (caller
+// falls back to the plain format). Two passes: count (parallel over
+// features), then pack+record at prefix-summed escape offsets.
+static inline void pack_pair_le(uint8_t* dst, uint64_t a, uint64_t b, int w) {
+  uint64_t combined = a | (b << w);
+  const int k = w / 4;  // bytes per pair (2*w bits, w nibble-aligned)
+  for (int j = 0; j < k; ++j) dst[j] = (combined >> (8 * j)) & 0xFF;
+}
+
+int64_t escape_pack_window_i32(
+    const int32_t* slot3, int64_t P, int64_t F, int64_t Bf,
+    const int32_t* widths, const int32_t* plain_widths, const int32_t* deltas,
+    const int64_t* out_offsets, uint8_t* out,
+    uint32_t* opos, int32_t* oval, int64_t max_overflow) {
+  const int64_t L = F * Bf;
+  std::vector<int64_t> counts(F, 0);
+  // pass 1: per-feature escape counts (narrowed features only)
+  parallel_for(F, 1, [&](int64_t flo, int64_t fhi) {
+    for (int64_t f = flo; f < fhi; ++f) {
+      if (widths[f] >= plain_widths[f]) continue;
+      const uint32_t lim = 1u << widths[f];
+      const int32_t delta = deltas[f];
+      int64_t c = 0;
+      for (int64_t p = 0; p < P; ++p) {
+        const int32_t* v = slot3 + (p * F + f) * Bf;
+        for (int64_t j = 0; j < Bf; ++j)
+          c += (static_cast<uint32_t>(v[j] - delta) >= lim);
+      }
+      counts[f] = c;
+    }
+  });
+  std::vector<int64_t> esc_off(F + 1, 0);
+  for (int64_t f = 0; f < F; ++f) esc_off[f + 1] = esc_off[f] + counts[f];
+  const int64_t total = esc_off[F];
+  if (total > max_overflow) return -1;
+  // pass 2: pack every feature block; record escapes at their offsets.
+  // Direct (p, j) iteration over the feature's contiguous chunks with a
+  // pair-packer carry across chunk boundaries — no per-element div/mod.
+  parallel_for(F, 1, [&](int64_t flo, int64_t fhi) {
+    for (int64_t f = flo; f < fhi; ++f) {
+      const int w = widths[f];
+      const bool narrowed = w < plain_widths[f];
+      const uint32_t mask = (w >= 32) ? 0xFFFFFFFFu : ((1u << w) - 1);
+      const int32_t delta = deltas[f];
+      uint8_t* dst = out + out_offsets[f];
+      uint32_t* ep = opos + esc_off[f];
+      int32_t* ev = oval + esc_off[f];
+      uint64_t pending = 0;
+      bool has_pending = false;
+      for (int64_t p = 0; p < P; ++p) {
+        const int32_t* v = slot3 + (p * F + f) * Bf;
+        const uint32_t pos0 = static_cast<uint32_t>(p * L + f * Bf);
+        if (!narrowed) {
+          for (int64_t j = 0; j < Bf; ++j) {
+            const uint32_t local = static_cast<uint32_t>(v[j] - delta);
+            if (has_pending) {
+              pack_pair_le(dst, pending, local, w);
+              dst += w / 4;
+              has_pending = false;
+            } else {
+              pending = local;
+              has_pending = true;
+            }
+          }
+        } else {
+          for (int64_t j = 0; j < Bf; ++j) {
+            uint32_t local = static_cast<uint32_t>(v[j] - delta);
+            if (local > mask) {
+              *ep++ = pos0 + static_cast<uint32_t>(j);
+              *ev++ = v[j];  // RAW id
+              local &= mask;
+            }
+            if (has_pending) {
+              pack_pair_le(dst, pending, local, w);
+              dst += w / 4;
+              has_pending = false;
+            } else {
+              pending = local;
+              has_pending = true;
+            }
+          }
+        }
+      }
+      if (has_pending) {  // odd total: only legal for byte-aligned widths
+        for (int j = 0; j < w / 8; ++j) dst[j] = (pending >> (8 * j)) & 0xFF;
+      }
+    }
+  });
+  return total;
+}
+
 // out[id] += 1 for every id (single-threaded: bincount over int64 ids;
 // callers stream shards through this).
 void bincount_i32(const int64_t* ids, int64_t* out, int64_t n, int64_t num_rows) {

@@ -1064,6 +1064,11 @@ class CachedDLRMTrainer:
             out = self._try_escape_encode(slot3, P, L, Bf)
             if out is not None:
                 return out
+        ws = np.array([w for w, _ in spec], np.int32)
+        ds = np.array([d for _, d in spec], np.int32)
+        res = hostops.escape_pack_window(slot3, ws, ws, ds, 0)
+        if res is not None and res is not False:
+            return res[0], spec, sum((n * w) // 8 for w, _ in spec)
         blocks = []
         for f, (w, delta) in enumerate(spec):
             v = slot3[:, f, :]
@@ -1110,6 +1115,28 @@ class CachedDLRMTrainer:
 
         tag, spec, ne = self._esc_spec
         n = P * Bf
+        res = hostops.escape_pack_window(
+            slot3,
+            np.array([w for w, _ in spec], np.int32),
+            np.array([w for w, _ in self._esc_plain_spec], np.int32),
+            np.array([d for _, d in spec], np.int32),
+            ne,
+        )
+        if res is False:
+            return None  # over the frozen escape budget -> plain format
+        if res is not None:
+            packed, epos, eval_ = res
+            count = epos.shape[0]
+            pos = np.full((ne,), P * L, np.uint32)
+            val = np.zeros((ne,), np.int32)
+            pos[:count] = epos
+            val[:count] = eval_
+            expect = sum((n * w) // 8 for w, _ in spec) + 8 * ne
+            return (
+                np.concatenate([packed, pos.view(np.uint8), val.view(np.uint8)]),
+                self._esc_spec,
+                expect,
+            )
         blocks = []
         pos_parts, val_parts = [], []
         count = 0

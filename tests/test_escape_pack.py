@@ -133,3 +133,47 @@ def test_escape_encode_roundtrip_and_overflow():
         if w < pw and not d:
             big3[:, f, :] = trainer.embed.capacity - 1  # >= 2^8 everywhere
     assert trainer._try_escape_encode(big3, P, L, Bf) is None
+
+
+def test_native_escape_pack_matches_python_encoder(monkeypatch):
+    """The native windowed packer (hostops.escape_pack_window) must produce
+    byte-identical output to the python encoder — both escape format and the
+    plain per-feature-width fallback — since the device decoder consumes the
+    bytes directly."""
+    from cachedembedding_tpu._native import hostops
+
+    if not hostops.native_available():
+        import pytest
+
+        pytest.skip("native lib not built")
+    cfg = _cfg(True)
+    trainer = CachedDLRMTrainer(cfg)
+    P, F, Bf = 3, 4, 64
+    L = F * Bf
+    rng = np.random.default_rng(7)
+    spec = trainer.embed.pf_pack_spec(P * Bf)
+    nspec = tuple((8 if w > 8 else w, d) for (w, d) in spec)
+    trainer._esc_plain_spec = tuple(spec)
+    trainer._esc_spec = ("esc", nspec, 64)
+    slot3 = rng.integers(0, 200, size=(P, F, Bf), dtype=np.int64)
+    for f, (w, delta) in enumerate(spec):
+        if delta:
+            slot3[:, f, :] = (slot3[:, f, :] % (1 << w)) + delta
+    slot3 = slot3.astype(np.int32)
+
+    native = trainer._try_escape_encode(slot3, P, L, Bf)
+    assert native is not None
+    monkeypatch.setattr(hostops, "escape_pack_window", lambda *a, **k: None)
+    python = trainer._try_escape_encode(slot3, P, L, Bf)
+    assert python is not None
+    assert native[1] == python[1] and native[2] == python[2]
+    np.testing.assert_array_equal(native[0], python[0])
+    monkeypatch.undo()
+
+    # plain format path
+    trainer._esc_spec = False
+    native_p = trainer._escape_encode(slot3, spec, P, L, Bf)
+    monkeypatch.setattr(hostops, "escape_pack_window", lambda *a, **k: None)
+    python_p = trainer._escape_encode(slot3, spec, P, L, Bf)
+    assert native_p[1] == python_p[1] and native_p[2] == python_p[2]
+    np.testing.assert_array_equal(native_p[0], python_p[0])
