@@ -569,40 +569,53 @@ class CachedEmbeddingBag:
         else:
             written = np.ones((R,), np.bool_)
         n_fresh = int(R - written.sum())
-        chunk = 1 << 17
         if n_fresh:
-            f_rows = rows[~written]
+            # Donated jitted synth+scatter over big padded chunks. The old
+            # per-131k-chunk eager ``.at[].set`` re-compiled AND full-copied
+            # the (device_rows, D) array once per chunk — ~47 s of the
+            # round-3 bench's 322.9 s init regression (cProfile). Padding the
+            # tail chunk (slots=-1 -> mode="drop") keeps ONE compile total.
+            f_rows = rows[~written].astype(np.int32)
             f_addrs = addrs[~written]
             bounds = self.host_table.row_bounds(f_rows).astype(np.float32)
+            chunk = min(n_fresh, 1 << 21)  # bounds the (n, D) f32 transient
             for s in range(0, n_fresh, chunk):
                 e = min(s + chunk, n_fresh)
-                vals = synth_rows(
-                    jnp.asarray(f_rows[s:e].astype(np.int32)),
-                    jnp.asarray(bounds[s:e]),
+                pad = chunk - (e - s)
+                self.cache_weight = scatter_synth_admits(
+                    self.cache_weight,
+                    jnp.asarray(np.pad(f_addrs[s:e], (0, pad), constant_values=-1)),
+                    jnp.asarray(np.pad(f_rows[s:e], (0, pad))),
+                    jnp.asarray(np.pad(bounds[s:e], (0, pad))),
                     self._seed_u32,
-                    self.embedding_dim,
                 )
-                self.cache_weight = self.cache_weight.at[
-                    jnp.asarray(f_addrs[s:e])
-                ].set(vals.astype(self.cache_weight.dtype))
         if n_fresh < R:
             w_rows = rows[written]
             w_addrs = addrs[written]
             n_w = int(w_rows.shape[0])
+            chunk = min(n_w, 1 << 17)  # bounds the host-staged payload put
             for s in range(0, n_w, chunk):
                 e = min(s + chunk, n_w)
+                pad = chunk - (e - s)
                 vals = self.host_table.gather(w_rows[s:e])
                 payload = (
                     vals.astype(ml_dtypes.bfloat16) if self._transfer_bf16 else vals
                 )
-                self.cache_weight = self.cache_weight.at[
-                    jnp.asarray(w_addrs[s:e])
-                ].set(jnp.asarray(payload).astype(self.cache_weight.dtype))
+                if pad:
+                    payload = np.pad(payload, ((0, pad), (0, 0)))
+                slots_dev = jnp.asarray(
+                    np.pad(w_addrs[s:e], (0, pad), constant_values=-1)
+                )
+                self.cache_weight = scatter_admits(
+                    self.cache_weight, slots_dev, jnp.asarray(payload)
+                )
                 if self.cache_accum is not None:
                     acc = self.host_accum.gather(w_rows[s:e]).astype(np.float32)
-                    self.cache_accum = self.cache_accum.at[
-                        jnp.asarray(w_addrs[s:e])
-                    ].set(jnp.asarray(acc))
+                    if pad:
+                        acc = np.pad(acc, (0, pad))
+                    self.cache_accum = _scatter_accum(
+                        self.cache_accum, slots_dev, jnp.asarray(acc)
+                    )
             self.stats.swap_in_bytes += n_w * self.embedding_dim * 4
 
     def _translate_ids(self, ids_np: np.ndarray):

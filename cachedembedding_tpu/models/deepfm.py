@@ -40,11 +40,22 @@ def init_deepfm(
     hidden_layer_size: int,
     deep_fm_dimension: int,
 ) -> DeepFMParams:
-    k1, k2, k3 = jax.random.split(key, 3)
-    dense_arch = _mlp_init(k1, num_dense_features, (hidden_layer_size, embedding_dim))
+    # host-side numpy init (see dlrm._key_seed_seq): no eager device ops
+    from cachedembedding_tpu.models.dlrm import _key_seed_seq, _linear_init_np
+
+    import numpy as np
+
+    ss1, ss2, ss3 = _key_seed_seq(key).spawn(3)
+    rng1 = np.random.default_rng(ss1)
+    dense_arch = [
+        _linear_init_np(rng1, num_dense_features, hidden_layer_size),
+        _linear_init_np(rng1, hidden_layer_size, embedding_dim),
+    ]
     fm_in = (num_sparse_features + 1) * embedding_dim
-    deep_fm = _linear_init(k2, fm_in, deep_fm_dimension)
-    over = _linear_init(k3, embedding_dim + deep_fm_dimension + 1, 1)
+    deep_fm = _linear_init_np(np.random.default_rng(ss2), fm_in, deep_fm_dimension)
+    over = _linear_init_np(
+        np.random.default_rng(ss3), embedding_dim + deep_fm_dimension + 1, 1
+    )
     return DeepFMParams(dense_arch=dense_arch, deep_fm=deep_fm, over_arch=over)
 
 

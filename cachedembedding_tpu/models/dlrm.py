@@ -37,22 +37,49 @@ def choose(n: int, k: int) -> int:
 # Linear / MLP
 # ---------------------------------------------------------------------------
 
-def _linear_init(key, in_f: int, out_f: int) -> Dict[str, jnp.ndarray]:
+def _key_seed_seq(key) -> np.random.SeedSequence:
+    """Deterministic numpy SeedSequence from an int seed or a jax PRNG key
+    (legacy uint32 array or typed key). Dense-tower init is host-side numpy
+    because each eager jax.random op costs a full dispatch round-trip on
+    tunneled backends (~54 s of the round-3 bench's 322.9 s init was 8 eager
+    _linear_init calls; cProfile). Prefer passing an INT seed: reading a
+    device key's bytes synchronizes on every previously enqueued device
+    program (minutes behind a congested-link cache init)."""
+    if isinstance(key, (int, np.integer)):
+        # same entropy as the key path below would produce for
+        # jax.random.PRNGKey(seed) (legacy threefry key data = [hi32, lo32]),
+        # so _key_seed_seq(seed) == _key_seed_seq(PRNGKey(seed))
+        s = int(key)
+        return np.random.SeedSequence([(s >> 32) & 0xFFFFFFFF, s & 0xFFFFFFFF])
+    try:
+        data = jax.random.key_data(key)
+    except TypeError:
+        data = key
+    arr = np.asarray(data).astype(np.uint64).ravel()
+    return np.random.SeedSequence([int(x) for x in arr])
+
+
+def _linear_init_np(rng: np.random.Generator, in_f: int, out_f: int) -> Dict[str, jnp.ndarray]:
     """torch.nn.Linear default init: W ~ kaiming_uniform(a=sqrt(5)) ==
     U(+-sqrt(6 / ((1+5) * fan_in))) = U(+-1/sqrt(fan_in)); b ~ U(+-1/sqrt(fan_in))."""
-    kw, kb = jax.random.split(key)
     bound = 1.0 / math.sqrt(in_f)
     return {
-        "w": jax.random.uniform(kw, (in_f, out_f), jnp.float32, -bound, bound),
-        "b": jax.random.uniform(kb, (out_f,), jnp.float32, -bound, bound),
+        "w": jnp.asarray(
+            rng.uniform(-bound, bound, (in_f, out_f)).astype(np.float32)
+        ),
+        "b": jnp.asarray(rng.uniform(-bound, bound, (out_f,)).astype(np.float32)),
     }
 
 
+def _linear_init(key, in_f: int, out_f: int) -> Dict[str, jnp.ndarray]:
+    return _linear_init_np(np.random.default_rng(_key_seed_seq(key)), in_f, out_f)
+
+
 def _mlp_init(key, in_f: int, layer_sizes: Sequence[int]) -> List[Dict[str, jnp.ndarray]]:
+    rng = np.random.default_rng(_key_seed_seq(key))
     layers = []
     for out_f in layer_sizes:
-        key, sub = jax.random.split(key)
-        layers.append(_linear_init(sub, in_f, out_f))
+        layers.append(_linear_init_np(rng, in_f, out_f))
         in_f = out_f
     return layers
 
@@ -114,8 +141,11 @@ def init_dlrm_dense(
     dense_arch_layer_sizes: Sequence[int],
     over_arch_layer_sizes: Sequence[int],
 ) -> DLRMParams:
-    """Init the FusedDenseModules analog (/root/reference/recsys/models/dlrm.py:120-134)."""
-    k1, k2 = jax.random.split(key)
+    """Init the FusedDenseModules analog (/root/reference/recsys/models/dlrm.py:120-134).
+
+    Pure host-side numpy init (see _key_seed_seq): zero compiles and zero
+    eager device ops — the weights ship with the first training program."""
+    ss1, ss2 = _key_seed_seq(key).spawn(2)
     if dense_in_features <= 0:
         dense_arch: List[Dict[str, jnp.ndarray]] = []
         over_in = choose(num_sparse_features, 2)
@@ -123,11 +153,21 @@ def init_dlrm_dense(
         assert dense_arch_layer_sizes[-1] == embedding_dim, (
             "DenseArch output dim must equal embedding_dim for the interaction"
         )
-        dense_arch = _mlp_init(k1, dense_in_features, dense_arch_layer_sizes)
+        rng1 = np.random.default_rng(ss1)
+        dense_arch = []
+        in_f = dense_in_features
+        for out_f in dense_arch_layer_sizes:
+            dense_arch.append(_linear_init_np(rng1, in_f, out_f))
+            in_f = out_f
         over_in = embedding_dim + choose(num_sparse_features + 1, 2)
     if len(over_arch_layer_sizes) <= 1:
         raise ValueError("OverArch must have multiple layers.")
-    over_arch = _mlp_init(k2, over_in, over_arch_layer_sizes)
+    rng2 = np.random.default_rng(ss2)
+    over_arch = []
+    in_f = over_in
+    for out_f in over_arch_layer_sizes:
+        over_arch.append(_linear_init_np(rng2, in_f, out_f))
+        in_f = out_f
     return DLRMParams(dense_arch=dense_arch, over_arch=over_arch)
 
 

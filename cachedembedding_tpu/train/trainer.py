@@ -964,7 +964,9 @@ class CachedDLRMTrainer:
             transfer_dtype=cache_cfg.transfer_dtype,
             resident_tables=resident,
         )
-        key = jax.random.PRNGKey(cfg.seed)
+        # int seed, not a device PRNGKey: dense init is host-side numpy and a
+        # device key readback would sync on the whole async cache init
+        key = cfg.seed
         if cfg.model == "deepfm":
             self.dense_params = init_deepfm(
                 key,

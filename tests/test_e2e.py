@@ -51,14 +51,17 @@ def test_training_lifts_auroc_bf16():
     cfg = _cfg(tables, prefetch_num=2)
     cfg.learning_rate = 0.3
     cfg.compute_dtype = "bfloat16"
+    # 48 iters (not 30): the short-horizon AUROC sits right at the 0.58 bar
+    # (0.578-0.62 across dense-init draws); a few more steps clear it for any
+    # seed without weakening the assertion.
     data = SyntheticLongTailDataset(
-        tables, cfg.batch_size, num_batches=30, dense_in_features=4, seed=3
+        tables, cfg.batch_size, num_batches=48, dense_in_features=4, seed=3
     )
     eval_data = SyntheticLongTailDataset(
         tables, cfg.batch_size, num_batches=5, dense_in_features=4, seed=99
     )
     trainer = CachedDLRMTrainer(cfg, id_freq_map=data.id_freq_map())
-    trainer.train(data, num_iters=30)
+    trainer.train(data, num_iters=48)
     metrics = trainer.evaluate(eval_data)
     assert metrics["auroc"] > 0.58, metrics
 
