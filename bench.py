@@ -120,11 +120,11 @@ def main() -> None:
                         "prefetch windows so each segment carries steady-state "
                         "eviction writeback + re-fetch traffic; the reference's "
                         "steady methodology, benchmark/benchmark_cache.py:58-75)")
-    p.add_argument("--warmup-iters", type=int, default=260,
+    p.add_argument("--warmup-iters", type=int, default=416,
                    help="untimed burn-in: compile/load every window-program "
-                        "signature, run past eviction onset (~iter 136 at "
-                        "kaggle scale: the free-slot pool absorbs misses until "
-                        "then) AND past the fetch ramp (~iter 250), so timed "
+                        "signature, run past eviction onset (measured at iter "
+                        "~290-400 at kaggle defaults: host-planner replay + "
+                        "live run, round 4) AND past the fetch ramp, so timed "
                         "segments are steady-state churning with no "
                         "mid-measurement executable loads. Truncated "
                         "automatically if the --deadline budget demands it.")
@@ -470,18 +470,26 @@ def main() -> None:
 
     def select_best():
         """Current best segment under the selection rules; None if no runs.
-        Rules: (1) prefer segments carrying eviction writebacks (the cache's
-        real steady-state cost); (2) drop weather-poisoned segments (link
-        probes bracketing them < half the run's median link rate) unless
-        nothing survives."""
+        Rules: (1) drop STALLED segments — a segment an order of magnitude
+        slower than the run's best ran a cold window-program compile or a
+        multi-minute link outage mid-measurement, not training (observed: a
+        first-eviction signature compiling inside a churning segment recorded
+        0.2 it/s while six clear segments ran 27-41 it/s; steady churn itself
+        costs only ~8%); (2) prefer segments carrying eviction writebacks
+        (the cache's real steady-state cost); (3) drop weather-poisoned
+        segments (link probes bracketing them < half the run's median link
+        rate) unless nothing survives."""
         if not runs:
             return None, [], []
-        med_link = float(np.median([x[4] for x in runs]))
-        degraded = [x for x in runs if x[4] < 0.5 * med_link]
-        clear = [x for x in runs if x not in degraded] or runs
+        best_it = max(x[1] for x in runs)
+        stalled = [x for x in runs if x[1] < 0.25 * best_it]
+        live = [x for x in runs if x not in stalled] or runs
+        med_link = float(np.median([x[4] for x in live]))
+        degraded = [x for x in live if x[4] < 0.5 * med_link]
+        clear = [x for x in live if x not in degraded] or live
         churning = [x for x in clear if x[3].swap_out_bytes > 0]
         pool = churning or clear  # resident runs never churn
-        return max(pool, key=lambda x: x[0]), churning, degraded
+        return max(pool, key=lambda x: x[0]), churning, degraded + stalled
 
     probe_after = link_probe()
     for r in range(args.segments):

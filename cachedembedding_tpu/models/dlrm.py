@@ -111,21 +111,57 @@ def _triu_indices(n: int) -> Tuple[np.ndarray, np.ndarray]:
     return r.astype(np.int32), c.astype(np.int32)
 
 
+@jax.custom_vjp
+def _pairwise_dots(combined: jnp.ndarray) -> jnp.ndarray:
+    """(B, F, D) -> (B, F, F) pairwise dots, f32 MXU accumulation.
+
+    Custom VJP so the grad-dot runs with BOTH operands in the compute dtype:
+    the default einsum VJP pairs the f32 cotangent with the low-precision
+    residual, and jnp promotes the residual to f32 — materializing an f32
+    copy of the (B, F, D) activations that XLA then folds all the way into
+    the embedding-row gather (2x bytes on the training program's hottest
+    op). Rounding the cotangent to the operand dtype instead is the standard
+    mixed-precision recipe (operands low-precision, accumulation f32)."""
+    return jnp.einsum(
+        "bfd,bgd->bfg", combined, combined, preferred_element_type=jnp.float32
+    )
+
+
+def _pairwise_dots_fwd(combined):
+    return _pairwise_dots(combined), combined
+
+
+def _pairwise_dots_bwd(combined, g):
+    # d/dc[b,h,d] sum_{f,g,d'} g[b,f,g] c[b,f,d'] c[b,g,d'] = ((g + g^T) @ c)[b,h,d]
+    gsym = (g + jnp.swapaxes(g, 1, 2)).astype(combined.dtype)
+    d = jnp.einsum(
+        "bfg,bgd->bfd", gsym, combined, preferred_element_type=jnp.float32
+    )
+    return (d.astype(combined.dtype),)
+
+
+_pairwise_dots.defvjp(_pairwise_dots_fwd, _pairwise_dots_bwd)
+
+
 def interaction_arch(
     dense_emb: Optional[jnp.ndarray], sparse_bfd: jnp.ndarray, dtype=jnp.float32
 ) -> jnp.ndarray:
     """Pairwise-dot interaction. dense_emb (B, D) or None; sparse (B, F, D).
     Returns (B, D + F+nd choose 2) with nd = 1 if dense_emb is not None."""
+    # Cast to the compute dtype BEFORE concatenating: dense_emb arrives f32
+    # (matmuls accumulate f32), and concat(f32, bf16) would promote the much
+    # larger sparse activations to f32 — XLA then commutes that convert into
+    # the embedding-row GATHER, doubling the bytes of the hottest op in the
+    # cached-training program. Values are identical either way (the einsum
+    # consumed bf16 casts of both pieces already).
     if dense_emb is not None:
-        combined = jnp.concatenate([dense_emb[:, None, :], sparse_bfd], axis=1)  # (B, F+1, D)
+        combined = jnp.concatenate(
+            [dense_emb[:, None, :].astype(dtype), sparse_bfd.astype(dtype)],
+            axis=1,
+        )  # (B, F+1, D)
     else:
-        combined = sparse_bfd
-    inter = jnp.einsum(
-        "bfd,bgd->bfg",
-        combined.astype(dtype),
-        combined.astype(dtype),
-        preferred_element_type=jnp.float32,
-    )
+        combined = sparse_bfd.astype(dtype)
+    inter = _pairwise_dots(combined)
     r, c = _triu_indices(combined.shape[1])
     flat = inter[:, r, c]  # (B, n choose 2)
     if dense_emb is not None:

@@ -38,11 +38,16 @@ def bag_pool_uniform(
     Returns (B, F, D) — the layout DLRM's InteractionArch consumes
     (/root/reference/baselines/models/dlrm.py:99-101).
     """
+    # Transpose the IDS (a few MB of s32), not the gathered rows (hundreds of
+    # MB at L=426k, D=128): gathering in (B, F, P) index order lands the rows
+    # directly in the (B, F, D) layout DLRM consumes, and the backward's grad
+    # scatter likewise needs no full-row-array transpose.
+    ids_bfp = jnp.transpose(ids_fbp, (1, 0, 2))  # (B, F, P)
     # mode="wrap": ids are validated in [0, C) upstream (cache manager
     # _translate_ids / directory plan), so wrap is an identity — but it keeps
     # XLA on the vectorized-gather path (clip/fill emit per-row bounds checks:
     # 4-7 ms vs ~1.2 ms at L=426k, D=128 bf16 on v5e).
-    rows = jnp.take(weight, ids_fbp, axis=0, mode="wrap")  # (F, B, P, D)
+    rows = jnp.take(weight, ids_bfp, axis=0, mode="wrap")  # (B, F, P, D)
     if rows.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
         # 8-bit floats have no implicit promotion path; upcast right after
         # the gather (the rows were only fp8 for storage/bandwidth)
@@ -50,11 +55,19 @@ def bag_pool_uniform(
     if per_sample_weights is not None:
         if mode != "sum":
             raise ValueError("per_sample_weights requires mode='sum'")
-        rows = rows.astype(jnp.float32) * per_sample_weights[..., None]
+        psw_bfp = jnp.transpose(per_sample_weights, (1, 0, 2))
+        rows = rows.astype(jnp.float32) * psw_bfp[..., None]
+    if ids_bfp.shape[-1] == 1:
+        # P == 1 (the Criteo/Avazu hot path): pooling over a singleton axis is
+        # the identity — emitting it as a reduce makes jnp.sum's f32
+        # accumulation upcast hit the GATHER (XLA commutes the convert before
+        # the gather, materializing f32 rows: 2x HBM write + 2x downstream
+        # bytes for nothing). Squeeze instead; rows keep the storage dtype.
+        return rows[:, :, 0]
     # Low-precision weights (bf16 rows gather 4x faster than f32 on TPU — the
     # 256-byte row hits XLA's vectorized gather path) still pool/accumulate in
     # f32; grads convert back to the weight dtype only at the final scatter.
-    if rows.dtype != jnp.float32 and ids_fbp.shape[-1] > 1:
+    if rows.dtype != jnp.float32:
         rows = rows.astype(jnp.float32)
     if mode == "sum":
         pooled = jnp.sum(rows, axis=2)
@@ -62,7 +75,7 @@ def bag_pool_uniform(
         pooled = jnp.mean(rows, axis=2)
     else:
         raise ValueError(f"unsupported mode {mode!r}")
-    return jnp.transpose(pooled, (1, 0, 2))  # (B, F, D)
+    return pooled  # (B, F, D)
 
 
 def bag_pool_ragged(

@@ -215,9 +215,34 @@ def build_mesh_window_train(
                     (-slr * g_rows.astype(jnp.float32)).astype(cw.dtype)
                 )
             else:
+                # Rows-grad structure mirroring the single-chip trainer
+                # (_scan_window's uniform dense branch): differentiate w.r.t.
+                # the gathered rows in the storage dtype so the forward
+                # gather never reads/writes a full-shard f32 convert of the
+                # cache; f32 duplicate-id accumulation is preserved by
+                # upcasting inside the scatter-add. Keeping the two programs
+                # structurally identical also keeps their XLA reduction
+                # orders aligned (tests/test_mesh_window.py parity gates).
+                ids_bfp = jnp.transpose(feats.to_fbp(), (1, 0, 2))  # (B,F,P)
+                rows_bf = jnp.take(cw, ids_bfp, axis=0, mode="wrap")
+                upcast = (
+                    jnp.dtype(cw.dtype).itemsize == 1 or ids_bfp.shape[2] > 1
+                )
+                rows_in = (
+                    rows_bf.astype(jnp.float32)
+                    if (upcast or stochastic_rounding)
+                    else rows_bf
+                )
 
-                def loss_fn(dp_, cw_):
-                    pooled = embedding_bag(cw_, feats, mode=mode)  # (B, F, dpr)
+                def loss_fn_rows(dp_, rows):
+                    if rows.shape[2] == 1:
+                        pooled = rows[:, :, 0]  # (B, F, dpr)
+                    else:
+                        pooled = (
+                            rows.astype(jnp.float32).sum(axis=2)
+                            if mode == "sum"
+                            else rows.astype(jnp.float32).mean(axis=2)
+                        )
                     emb_local = _reshard_pooled(pooled, fused_op, b_local)
                     loss = _model_loss(
                         model, dp_, d_local, emb_local, compute_dtype, l_local
@@ -229,21 +254,21 @@ def build_mesh_window_train(
                     # local-mean + scaled-LR, recsys/dlrm_main.py:455-461).
                     return loss * (b_local / batch_size)
 
-                # sr regime: grads w.r.t. the f32 upcast (a storage-dtype grad
-                # is cast back through that dtype by AD; fp8 flushes the small
-                # late-stage grads sr exists to preserve)
-                cw_in = (
-                    cw.astype(jnp.float32) if stochastic_rounding else cw
+                loss, (g_dense, g_rows) = jax.value_and_grad(
+                    loss_fn_rows, argnums=(0, 1)
+                )(dp, rows_in)
+                g32 = jnp.zeros(cw.shape, jnp.float32).at[
+                    ids_bfp.reshape(-1)
+                ].add(
+                    g_rows.reshape(-1, cw.shape[1]).astype(jnp.float32),
+                    mode="promise_in_bounds",
                 )
-                loss, (g_dense, g_cache) = jax.value_and_grad(
-                    loss_fn, argnums=(0, 1)
-                )(dp, cw_in)
-                g32 = g_cache.astype(jnp.float32)
                 if optimizer == "rowwise_adagrad":
                     # global row-mean of g^2 = psum of per-shard column sums / D
                     acc = acc + jax.lax.psum(jnp.sum(g32 * g32, axis=1), AXIS) / d_full
                     g32 = g32 / (jnp.sqrt(acc) + adagrad_eps)[:, None]
-                new32 = cw.astype(jnp.float32) - slr * g32
+                cw_upd = jax.lax.optimization_barrier(cw)
+                new32 = cw_upd.astype(jnp.float32) - slr * g32
                 if stochastic_rounding:
                     from cachedembedding_tpu.ops.rounding import (
                         stochastic_astype,

@@ -369,6 +369,58 @@ def _scan_window(
                 (-slr * g_rows.astype(jnp.float32)).astype(cw.dtype),
                 mode="promise_in_bounds",
             )
+        elif not ragged and not use_pallas:
+            # Default dense-grad path, restructured to differentiate w.r.t.
+            # the GATHERED ROWS (f32 upcast) rather than the whole cache
+            # array. Numerically identical — AD of take is exactly the
+            # scatter-add built below, and the f32 upcast point matches the
+            # old path's f32 activations — but it keeps the row gather in the
+            # storage dtype: differentiating w.r.t. a bf16 cw forces bf16
+            # cotangents (losing f32 duplicate-id accumulation), while the
+            # old cw.astype(f32)-adjacent graph let XLA rewire the gather to
+            # read a full-N f32 convert of the cache (2x bytes on the
+            # program's hottest op).
+            ids_bfp = jnp.transpose(feats.to_fbp(), (1, 0, 2))  # (B, F, P)
+            rows_bf = jnp.take(cw, ids_bfp, axis=0, mode="wrap")
+            # Differentiate w.r.t. the rows in the STORAGE dtype when P == 1:
+            # an explicit f32 upcast here gets folded into the gather (f32
+            # output = 2x write bytes) and never folded back out. The grad
+            # values are identical either way — the model's compute-dtype
+            # cast rounds the cotangent to bf16 at the einsum boundary before
+            # it reaches this point — and f32 duplicate-id ACCUMULATION is
+            # preserved by upcasting inside the scatter-add below. fp8
+            # storage still upcasts (8-bit cotangents would flush the small
+            # grads), as does P > 1 (pooling accumulates in f32).
+            upcast = jnp.dtype(cw.dtype).itemsize == 1 or ids_bfp.shape[2] > 1
+            rows_in = rows_bf.astype(jnp.float32) if upcast else rows_bf
+
+            def loss_fn_rows(dp_, rows):
+                if rows.shape[2] == 1:
+                    sparse_bfd = rows[:, :, 0]  # pooling over P=1 = identity
+                else:
+                    sparse_bfd = (
+                        rows.sum(axis=2) if mode == "sum" else rows.mean(axis=2)
+                    )
+                return _model_loss(model, dp_, d, sparse_bfd, compute_dtype, l)
+
+            loss, (g_dense, g_rows) = jax.value_and_grad(
+                loss_fn_rows, argnums=(0, 1)
+            )(dp, rows_in)
+            g32 = jnp.zeros(cw.shape, jnp.float32).at[ids_bfp.reshape(-1)].add(
+                g_rows.reshape(-1, cw.shape[1]).astype(jnp.float32),
+                mode="promise_in_bounds",
+            )
+            if optimizer == "rowwise_adagrad":
+                acc = acc + jnp.mean(g32 * g32, axis=1)
+                g32 = g32 / (jnp.sqrt(acc) + adagrad_eps)[:, None]
+            cw_upd = jax.lax.optimization_barrier(cw)
+            new32 = cw_upd.astype(jnp.float32) - slr * g32
+            if step_seed is not None:
+                from cachedembedding_tpu.ops.rounding import stochastic_astype
+
+                cw = stochastic_astype(new32, cw.dtype, step_seed)
+            else:
+                cw = new32.astype(cw.dtype)
         else:
 
             def loss_fn(dp_, cw_):
@@ -390,8 +442,15 @@ def _scan_window(
                 g32 = g32 / (jnp.sqrt(acc) + adagrad_eps)[:, None]
             # update arithmetic in f32, ONE rounding back to the storage dtype
             # (stochastic when sr_seed is set: E[stored] == f32 value, so
-            # sub-ulp fp8 updates accumulate instead of snapping back)
-            new32 = cw.astype(jnp.float32) - slr * g32
+            # sub-ulp fp8 updates accumulate instead of snapping back).
+            # optimization_barrier: without it XLA CSEs this f32 upcast with
+            # the forward lookup's operand and rewires the row GATHER to read
+            # the converted f32 array — 2x random-read+write bytes on the
+            # hottest op of the program. The barrier forks the value so the
+            # gather keeps reading storage-dtype rows; the update fusion
+            # converts inline (fused with the subtract) at no extra pass.
+            cw_upd = jax.lax.optimization_barrier(cw)
+            new32 = cw_upd.astype(jnp.float32) - slr * g32
             if step_seed is not None:
                 from cachedembedding_tpu.ops.rounding import stochastic_astype
 
