@@ -691,6 +691,27 @@ class CachedEmbeddingBag:
                 self.host_accum.scatter(self._res_rows[s:e], acc)
         self.stats.swap_out_bytes += R * self.embedding_dim * 4
 
+    def onehot_backward_plan(self, max_rows: int = 2048) -> tuple:
+        """Static (feature, device_base, rows) triples for resident tables
+        small enough that their embedding backward is cheaper as a one-hot
+        MXU matmul than as part of the unsorted scatter-add. XLA's TPU
+        scatter costs ~16 ns PER INDEX regardless of table size
+        (benchmark/microbench_scatter2.py: per-element rate constant from
+        cap=64 to 337k), so each batch's worth of ids into a tiny table
+        wastes ~0.26 ms/step; a (rows, B) x (B, D) one-hot matmul computes
+        the same f32-accumulated sum in microseconds once rows is small
+        enough that building/reading the (B, rows) one-hot stays under the
+        scatter cost (break-even ~2k rows at B=16384, D=128, bf16)."""
+        if not self.resident_tables:
+            return ()
+        out = []
+        for t in self.resident_tables:
+            r = int(self.table_sizes[t])
+            if r <= max_rows:
+                base = int(self._goff[t] + self._res_delta[t])
+                out.append((int(t), base, r))
+        return tuple(out)
+
     def pf_pack_spec(self, n_per_feature: int):
         """Per-feature (pack_width_bits, device_delta) for the mixed-kernel id
         wire format: each feature's window block is bit-packed at ITS OWN

@@ -166,6 +166,7 @@ def _train_step(
     static_argnames=(
         "num_features", "batch_size", "pooling", "mode", "compute_dtype_name",
         "use_pallas", "sparse_grad", "model", "optimizer", "adagrad_eps",
+        "onehot_plan",
     ),
     donate_argnames=("dense_params", "cache_weight", "cache_accum"),
 )
@@ -190,6 +191,7 @@ def _train_window_step(
     model: str = "dlrm",
     optimizer: str = "sgd",
     adagrad_eps: float = 1e-10,
+    onehot_plan: tuple = (),
 ):
     """One ENTIRE prefetch window of SGD steps as a single ``lax.scan``.
 
@@ -207,7 +209,7 @@ def _train_window_step(
         mode=mode, compute_dtype=jnp.dtype(compute_dtype_name),
         use_pallas=use_pallas, sparse_grad=sparse_grad, model=model,
         optimizer=optimizer, adagrad_eps=adagrad_eps, cache_accum=cache_accum,
-        sr_seed=sr_seed,
+        sr_seed=sr_seed, onehot_plan=onehot_plan,
     )
 
 
@@ -215,7 +217,7 @@ def _scan_window(
     dense_params, cache_weight, xs,
     *, num_features, batch_size, pooling, mode, compute_dtype, use_pallas,
     sparse_grad, model="dlrm", optimizer="sgd", adagrad_eps=1e-10,
-    cache_accum=None, ragged=False, sr_seed=None, plan=None,
+    cache_accum=None, ragged=False, sr_seed=None, plan=None, onehot_plan=(),
 ):
     """``ragged=True`` scans (dense, padded values, per-bag lengths, labels,
     lrs): offsets rebuild on device from lengths and pad-tail values fall past
@@ -406,10 +408,43 @@ def _scan_window(
             loss, (g_dense, g_rows) = jax.value_and_grad(
                 loss_fn_rows, argnums=(0, 1)
             )(dp, rows_in)
-            g32 = jnp.zeros(cw.shape, jnp.float32).at[ids_bfp.reshape(-1)].add(
-                g_rows.reshape(-1, cw.shape[1]).astype(jnp.float32),
-                mode="promise_in_bounds",
+            D = cw.shape[1]
+            # Small-table one-hot backward (mixed-kernel resident split):
+            # XLA's TPU scatter is per-INDEX bound (~16 ns each), so the
+            # tiny Criteo tables burn ~0.26 ms/step per feature for a sum
+            # into a handful of rows. Their grads compute instead as
+            # (rows, B) x (B, D) one-hot MXU matmuls into the STATIC device
+            # block each resident table owns — the same f32-accumulated
+            # addends, microseconds on the MXU — and those features drop out
+            # of the scatter's index stream entirely.
+            oh_plan = onehot_plan if ids_bfp.shape[2] == 1 else ()
+            if oh_plan:
+                small = {f for (f, _, _) in oh_plan}
+                big = [f for f in range(num_features) if f not in small]
+                ids_sc = ids_bfp[:, big, :]
+                g_sc = g_rows[:, big]
+            else:
+                ids_sc = ids_bfp
+                g_sc = g_rows
+            # barrier: without it XLA hoists the f32 upcast below ahead of
+            # the reshape/layout fix-ups, running them on 2x the bytes; the
+            # convert belongs fused into the scatter's update computation
+            g_flat = jax.lax.optimization_barrier(g_sc.reshape(-1, D))
+            g32 = jnp.zeros(cw.shape, jnp.float32).at[ids_sc.reshape(-1)].add(
+                g_flat.astype(jnp.float32), mode="promise_in_bounds"
             )
+            for f, base, r in oh_plan:
+                rel = ids_bfp[:, f, 0] - base  # (B,) in [0, r)
+                oh = (
+                    rel[:, None] == jnp.arange(r, dtype=rel.dtype)
+                ).astype(g_rows.dtype)
+                gblk = jnp.einsum(
+                    "br,bd->rd", oh, g_rows[:, f, 0],
+                    preferred_element_type=jnp.float32,
+                )
+                # SET, not add: feature id spaces are disjoint device blocks,
+                # so the scatter above never touches [base, base + r)
+                g32 = g32.at[base : base + r].set(gblk)
             if optimizer == "rowwise_adagrad":
                 acc = acc + jnp.mean(g32 * g32, axis=1)
                 g32 = g32 / (jnp.sqrt(acc) + adagrad_eps)[:, None]
@@ -672,7 +707,7 @@ def _unpack_ids(b: jnp.ndarray, P: int, L: int, width: int) -> jnp.ndarray:
     static_argnames=(
         "layout", "num_features", "batch_size", "pooling", "mode",
         "compute_dtype_name", "use_pallas", "sparse_grad", "model",
-        "optimizer", "adagrad_eps", "adagrad_initial",
+        "optimizer", "adagrad_eps", "adagrad_initial", "onehot_plan",
     ),
     donate_argnames=("dense_params", "cache_weight", "cache_accum"),
 )
@@ -699,6 +734,7 @@ def _train_window_packed(
     optimizer: str = "sgd",
     adagrad_eps: float = 1e-10,
     adagrad_initial: float = 0.0,
+    onehot_plan: tuple = (),
 ):
     """Fused window step fed by ONE packed uint8 buffer.
 
@@ -744,7 +780,7 @@ def _train_window_packed(
         mode=mode, compute_dtype=jnp.dtype(compute_dtype_name),
         use_pallas=use_pallas, sparse_grad=sparse_grad, model=model,
         optimizer=optimizer, adagrad_eps=adagrad_eps, cache_accum=cache_accum,
-        sr_seed=sr_seed, plan=plan,
+        sr_seed=sr_seed, plan=plan, onehot_plan=onehot_plan,
     )
 
 
@@ -1057,6 +1093,11 @@ class CachedDLRMTrainer:
         )
         self.data_parallel_size = 1 if mesh is not None else int(np.prod(cfg.mesh_shape))
         self._step_idx = 0
+        # Static small-resident-table one-hot backward plan (see
+        # _scan_window / CachedEmbeddingBag.onehot_backward_plan); empty for
+        # embeds without a mixed-kernel resident split.
+        _ohp = getattr(self.embed, "onehot_backward_plan", None)
+        self._onehot_plan = _ohp() if callable(_ohp) else ()
         self._lr_cache: dict = {}
         self._mesh_steps: dict = {}
         # Escape-coded id wire format (see _escape_encode): learned from the
@@ -1583,6 +1624,7 @@ class CachedDLRMTrainer:
             compute_dtype_name=cfg.compute_dtype,
             use_pallas=cfg.cache.use_pallas_lookup,
             model=cfg.model,
+            onehot_plan=self._onehot_plan,
         )
         accum = getattr(self.embed, "cache_accum", None)
         if accum is not None:
