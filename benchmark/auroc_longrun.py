@@ -165,7 +165,16 @@ def main():
 
     results = []
     for mode in args.modes.split(","):
-        results.append(run_mode(args, tables, dense_in, mode.strip(), id_freq_map))
+        # A failing mode must not lose the others' curves: at Kaggle scale
+        # the fully-resident twin RESOURCE_EXHAUSTs the 16 GiB chip (the
+        # capacity wall the cache exists to cross, docs/AB_REPORT.md) —
+        # record the failure and keep the JSON.
+        try:
+            results.append(run_mode(args, tables, dense_in, mode.strip(), id_freq_map))
+        except Exception as e:  # noqa: BLE001
+            log(f"[{mode}] FAILED: {type(e).__name__}: {str(e)[:200]}")
+            results.append({"mode": mode.strip(), "curve": [],
+                            "error": f"{type(e).__name__}: {str(e)[:500]}"})
 
     out = {
         "config": {k: v for k, v in vars(args).items()},
