@@ -174,3 +174,50 @@ def test_uniform_layout_plan_matches_generic():
         assert np.array_equal(hp_a.admit_rows, hp_b.admit_rows)
         assert np.array_equal(hp_a.admit_slots, hp_b.admit_slots)
         assert np.array_equal(hp_a.evict_rows, hp_b.evict_rows)
+
+
+def test_onehot_backward_plan_contents():
+    """The static one-hot plan must name exactly the resident tables at or
+    under the row bound, at the device base each table's block occupies
+    (capacity + running resident offset)."""
+    cfg = _cfg(resident_threshold=100)
+    trainer = CachedDLRMTrainer(cfg)
+    bag = trainer.embed
+    plan = bag.onehot_backward_plan(max_rows=2048)
+    # TABLES = [700, 300, 50, 20] at threshold 100 -> tables 2, 3 resident
+    assert [f for (f, _, _) in plan] == [2, 3]
+    cap = bag.capacity
+    assert plan[0][1:] == (cap, 50)        # table 2 block starts at capacity
+    assert plan[1][1:] == (cap + 50, 20)   # table 3 block follows
+    # threshold below the table sizes -> empty plan
+    assert bag.onehot_backward_plan(max_rows=10) == ()
+    # the trainer picked the plan up for the fused window programs
+    assert trainer._onehot_plan == plan
+
+
+def test_onehot_vs_scatter_grads_bitwise():
+    """Op-level check: the one-hot MXU grad block equals the f32 scatter-add
+    of the same per-row grads (same addends, f32 accumulation)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    B, R, D, base, N = 512, 50, 16, 64, 256
+    ids = jnp.asarray(base + rng.integers(0, R, B).astype(np.int32))
+    g = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32)).astype(jnp.bfloat16)
+
+    @jax.jit
+    def scatter_ref(ids, g):
+        return jnp.zeros((N, D), jnp.float32).at[ids].add(
+            g.astype(jnp.float32), mode="promise_in_bounds"
+        )[base : base + R]
+
+    @jax.jit
+    def onehot(ids, g):
+        rel = ids - base
+        oh = (rel[:, None] == jnp.arange(R, dtype=rel.dtype)).astype(g.dtype)
+        return jnp.einsum("br,bd->rd", oh, g, preferred_element_type=jnp.float32)
+
+    a = np.asarray(scatter_ref(ids, g))
+    b = np.asarray(onehot(ids, g))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
