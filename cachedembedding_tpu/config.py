@@ -23,7 +23,11 @@ class CacheConfig:
     buffer_size: int = 50_000          # --buffer_size; 0 disables the bounded staging buffer
     use_lfu_eviction: bool = False     # --use_lfu: LFU vs DATASET eviction
     use_freq: bool = True              # --use_freq: seed cache with dataset id frequency
-    prefetch_num: int = 1              # --prefetch_num: far-sighted prefetch depth
+    prefetch_num: int = 8              # --prefetch_num: far-sighted prefetch
+    # depth. Default 8 = the measured-best fused-window configuration (the
+    # benchmarked one; docs/AB_REPORT.md prefetch sweep) so the quick-start
+    # runs the fast path unchanged. 1 gives the reference's unpipelined
+    # per-batch semantics (/root/reference/recsys/dlrm_main.py:128 default 1).
     use_overlap: bool = True           # --use_overlap (flag parity; overlap is
     # structural in the window pipeline and always on)
     pin_weight: bool = True            # pin host weight (numpy is always "pinned" on TPU-VM)

@@ -113,7 +113,14 @@ def _triu_indices(n: int) -> Tuple[np.ndarray, np.ndarray]:
 
 @jax.custom_vjp
 def _pairwise_dots(combined: jnp.ndarray) -> jnp.ndarray:
-    """(B, F, D) -> (B, F, F) pairwise dots, f32 MXU accumulation.
+    """(B, F, F) pairwise dots of a (B, F, D) input, f32 MXU accumulation.
+
+    Limitation: custom_vjp makes this non-differentiable under FORWARD-mode
+    AD — jax.jvp/jacfwd/hessian over the model will raise. Reverse-mode
+    (grad/vjp, the only mode training uses) is unaffected; switch to
+    jax.custom_jvp if forward-mode is ever needed. The bwd also rounds the
+    symmetrized cotangent to the operand dtype before the grad-dot — a
+    deliberate numerics choice covered by the measured parity tests.
 
     Custom VJP so the grad-dot runs with BOTH operands in the compute dtype:
     the default einsum VJP pairs the f32 cotangent with the low-precision

@@ -57,6 +57,8 @@ def bag_pool_uniform(
             raise ValueError("per_sample_weights requires mode='sum'")
         psw_bfp = jnp.transpose(per_sample_weights, (1, 0, 2))
         rows = rows.astype(jnp.float32) * psw_bfp[..., None]
+    if mode not in ("sum", "mean"):
+        raise ValueError(f"unsupported mode {mode!r}")
     if ids_bfp.shape[-1] == 1:
         # P == 1 (the Criteo/Avazu hot path): pooling over a singleton axis is
         # the identity — emitting it as a reduce makes jnp.sum's f32
@@ -71,10 +73,8 @@ def bag_pool_uniform(
         rows = rows.astype(jnp.float32)
     if mode == "sum":
         pooled = jnp.sum(rows, axis=2)
-    elif mode == "mean":
+    else:  # "mean" — mode validated above
         pooled = jnp.mean(rows, axis=2)
-    else:
-        raise ValueError(f"unsupported mode {mode!r}")
     return pooled  # (B, F, D)
 
 

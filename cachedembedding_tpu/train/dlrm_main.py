@@ -56,7 +56,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--use_freq", action="store_true")
     p.add_argument("--use_lfu", action="store_true")
     p.add_argument("--use_overlap", action="store_true")
-    p.add_argument("--prefetch_num", type=int, default=1)
+    p.add_argument("--prefetch_num", type=int, default=8,
+                   help="far-sighted prefetch window depth; 8 is the "
+                        "measured-best fused-window default (docs/AB_REPORT.md), "
+                        "1 reproduces the reference's unpipelined per-batch "
+                        "semantics")
     p.add_argument("--transfer_dtype",
                    choices=["float32", "bfloat16", "int8", "int4"],
                    default="float32",

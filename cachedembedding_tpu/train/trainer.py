@@ -393,7 +393,15 @@ def _scan_window(
             # preserved by upcasting inside the scatter-add below. fp8
             # storage still upcasts (8-bit cotangents would flush the small
             # grads), as does P > 1 (pooling accumulates in f32).
-            upcast = jnp.dtype(cw.dtype).itemsize == 1 or ids_bfp.shape[2] > 1
+            # ... and stochastic rounding upcasts too: SR's whole point is
+            # keeping sub-ulp f32 grad signal alive, and mesh_window.py's
+            # structurally-identical program upcasts under SR — the condition
+            # must match or cross-program grad parity breaks.
+            upcast = (
+                jnp.dtype(cw.dtype).itemsize == 1
+                or ids_bfp.shape[2] > 1
+                or step_seed is not None
+            )
             rows_in = rows_bf.astype(jnp.float32) if upcast else rows_bf
 
             def loss_fn_rows(dp_, rows):

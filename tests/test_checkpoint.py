@@ -20,7 +20,10 @@ def _cfg(tables, **kw):
         over_arch_layer_sizes=(16, 8, 1),
         batch_size=128,
         learning_rate=0.3,
-        cache=CacheConfig(cache_ratio=0.4, warmup_ratio=0.7, buffer_size=0, **kw),
+        # tiny capacities: pin the reference's unpipelined window depth
+        # unless a test overrides (package default is 8)
+        cache=CacheConfig(cache_ratio=0.4, warmup_ratio=0.7, buffer_size=0,
+                          **{"prefetch_num": 1, **kw}),
     )
 
 

@@ -18,7 +18,10 @@ def _cfg(tables, **cache_kw):
         batch_size=256,
         learning_rate=0.5,
         cache=CacheConfig(
-            cache_ratio=0.3, warmup_ratio=0.7, buffer_size=0, **cache_kw
+            # tiny capacities: pin the reference's unpipelined window depth
+            # unless a test overrides (package default is 8)
+            cache_ratio=0.3, warmup_ratio=0.7, buffer_size=0,
+            **{"prefetch_num": 1, **cache_kw},
         ),
     )
 
