@@ -62,6 +62,12 @@ class CacheConfig:
     # Learned over the first 12 windows, then frozen; falls back to the plain
     # per-feature-width format on budget overflow. ~20-30% off the id wire.
     use_pallas_lookup: bool = False    # Pallas gather+pool kernel vs XLA take/segment-sum
+    onehot_max_rows: int = 2048        # resident tables with <= this many rows
+    # take their embedding backward as one-hot MXU matmuls instead of joining
+    # the unsorted scatter's index stream (cache/manager.py
+    # onehot_backward_plan; break-even ~2k rows at B=16384, D=128 — the
+    # (B, rows) one-hot materialization costs ~rows*B*2 bytes of HBM vs the
+    # scatter's ~16 ns/index)
     resident_threshold: int = 0        # MIXED-KERNEL execution: tables with
     # <= this many rows are kept fully HBM-resident (planner kernel HBM_FULL)
     # inside the same device array as the cache slots; only bigger tables are

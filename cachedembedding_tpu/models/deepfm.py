@@ -79,7 +79,8 @@ def deepfm_forward(
     deep = jax.nn.relu(_linear(params.deep_fm, combined.reshape(B, -1), compute_dtype))
     fm = factorization_machine(combined.astype(jnp.float32))
     cat = jnp.concatenate([dense_emb, deep, fm], axis=1)
-    logits = _linear(params.over_arch, cat, compute_dtype)[:, 0]
+    logits = _linear(params.over_arch, cat, compute_dtype,
+                     out_dtype=jnp.float32)[:, 0]
     return jax.nn.sigmoid(logits)
 
 

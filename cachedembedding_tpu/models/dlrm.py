@@ -84,9 +84,19 @@ def _mlp_init(key, in_f: int, layer_sizes: Sequence[int]) -> List[Dict[str, jnp.
     return layers
 
 
-def _linear(params: Dict[str, jnp.ndarray], x: jnp.ndarray, dtype) -> jnp.ndarray:
+def _linear(params: Dict[str, jnp.ndarray], x: jnp.ndarray, dtype,
+            out_dtype=None) -> jnp.ndarray:
+    """Matmul in ``dtype`` with f32 MXU accumulation; the bias-add epilogue
+    rounds back to ``dtype`` (or ``out_dtype``) INSIDE the matmul fusion.
+    Without the epilogue cast every activation materializes in f32 — 2x the
+    HBM write on each layer plus a separate convert pass at the next layer's
+    operand (xplane: f32[16384,512/1024] activation tensors, round-5 trace).
+    Value-identical forward at bf16: relu and the next layer's operand cast
+    commute with round-to-nearest, so cast(relu(y)) == relu(cast(y)); the
+    backward rounds cotangents to ``dtype`` one boundary earlier, same
+    deliberate numerics stance as the interaction VJP (see _pairwise_dots)."""
     y = jnp.dot(x.astype(dtype), params["w"].astype(dtype), preferred_element_type=jnp.float32)
-    return y + params["b"]
+    return (y + params["b"]).astype(out_dtype or dtype)
 
 
 def _mlp(layers: List[Dict[str, jnp.ndarray]], x: jnp.ndarray, dtype, final_relu: bool = True) -> jnp.ndarray:
@@ -230,7 +240,9 @@ def dlrm_dense_forward(
     # (/root/reference/baselines/models/dlrm.py:226-234).
     hidden, last = params.over_arch[:-1], params.over_arch[-1]
     x = _mlp(hidden, x, compute_dtype, final_relu=True)
-    logits = _linear(last, x, compute_dtype)
+    # logits stay f32: the (B, 1) head is tiny and the BCE mean over 16k
+    # examples wants full precision
+    logits = _linear(last, x, compute_dtype, out_dtype=jnp.float32)
     return logits[:, 0]
 
 

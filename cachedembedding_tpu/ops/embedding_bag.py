@@ -43,6 +43,10 @@ def bag_pool_uniform(
     # directly in the (B, F, D) layout DLRM consumes, and the backward's grad
     # scatter likewise needs no full-row-array transpose.
     ids_bfp = jnp.transpose(ids_fbp, (1, 0, 2))  # (B, F, P)
+    # barrier: keep the transpose OUT of the gather fusion — fused index math
+    # knocks XLA's emitter off the vectorized-gather path onto a ~9 ns/row
+    # scalar rate (ceiling A/B 15.35 -> 14.31 ms/iter, scripts/ceiling_r5.py)
+    ids_bfp = jax.lax.optimization_barrier(ids_bfp)
     # mode="wrap": ids are validated in [0, C) upstream (cache manager
     # _translate_ids / directory plan), so wrap is an identity — but it keeps
     # XLA on the vectorized-gather path (clip/fill emit per-row bounds checks:

@@ -224,6 +224,9 @@ def build_mesh_window_train(
                 # structurally identical also keeps their XLA reduction
                 # orders aligned (tests/test_mesh_window.py parity gates).
                 ids_bfp = jnp.transpose(feats.to_fbp(), (1, 0, 2))  # (B,F,P)
+                # barrier: keep the transpose out of the gather fusion
+                # (vectorized-gather path; trainer.py _ISOLATE_GATHER note)
+                ids_bfp = jax.lax.optimization_barrier(ids_bfp)
                 rows_bf = jnp.take(cw, ids_bfp, axis=0, mode="wrap")
                 upcast = (
                     jnp.dtype(cw.dtype).itemsize == 1 or ids_bfp.shape[2] > 1

@@ -44,6 +44,17 @@ from cachedembedding_tpu.ops.embedding_bag import embedding_bag
 from cachedembedding_tpu.ops.synth_rows import synth_rows
 from cachedembedding_tpu.utils.metrics import StreamingMetrics
 
+# Round-5 gather fix: materialize the transposed id array behind an
+# optimization_barrier before the row gather, so the gather's index operand
+# is a plain s32 array rather than fused index math. Measured on chip
+# (scripts/ceiling_r5.py, 2026-08-19): window ceiling 15.35 -> 14.31 ms/iter
+# — the fused transpose was knocking the emitter off the vectorized-gather
+# path (in-scan gather ran ~9 ns/row vs 2.8 standalone). Default ON;
+# CET_ISOLATE_GATHER=0 restores the fused form for A/B.
+import os as _os
+
+_ISOLATE_GATHER = _os.environ.get("CET_ISOLATE_GATHER", "1") == "1"
+
 
 def _quant_dense_window(batches) -> tuple:
     """Range-scaled uint8 dense-feature wire: ONE (scale, lo) f32 pair per
@@ -383,6 +394,8 @@ def _scan_window(
             # read a full-N f32 convert of the cache (2x bytes on the
             # program's hottest op).
             ids_bfp = jnp.transpose(feats.to_fbp(), (1, 0, 2))  # (B, F, P)
+            if _ISOLATE_GATHER:
+                ids_bfp = jax.lax.optimization_barrier(ids_bfp)
             rows_bf = jnp.take(cw, ids_bfp, axis=0, mode="wrap")
             # Differentiate w.r.t. the rows in the STORAGE dtype when P == 1:
             # an explicit f32 upcast here gets folded into the gather (f32
@@ -1105,7 +1118,8 @@ class CachedDLRMTrainer:
         # _scan_window / CachedEmbeddingBag.onehot_backward_plan); empty for
         # embeds without a mixed-kernel resident split.
         _ohp = getattr(self.embed, "onehot_backward_plan", None)
-        self._onehot_plan = _ohp() if callable(_ohp) else ()
+        _ohmax = int(getattr(cache_cfg, "onehot_max_rows", 2048))
+        self._onehot_plan = _ohp(_ohmax) if callable(_ohp) else ()
         self._lr_cache: dict = {}
         self._mesh_steps: dict = {}
         # Escape-coded id wire format (see _escape_encode): learned from the

@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Round-5 device-only ceiling A/B: the 15.0 ms/iter frontier.
+
+Round-4 ended at 15.0 ms/iter (1.34x baseline) with budget (xplane, round-5
+re-trace): gather 3.88, scatter+zeros 3.22, interaction block ~3.1 (of which
+~1.9 is layout copies), full-N update 1.32, towers ~1.5. Variants here attack
+those buckets; each is measured by the same staged-window differential timing
+the bench's ceiling probe reports.
+
+Variants (vs the round-4 default's 15.0 ms/iter measured same-day):
+  base        — current defaults (includes the round-5 bf16 matmul-epilogue
+                model change; A/B against 15.0 isolates it)
+  isogather   — optimization_barrier on the transposed id array before the
+                row gather (is the in-scan gather scalar-rate because the
+                fused transpose knocks it off the vectorized path?)
+  fp8         — cache_dtype float8_e4m3fn (+auto stochastic rounding):
+                halves gather/update row bytes (VERDICT r4 #3)
+  pallas      — ops/pallas_bag.py per-row-DMA gather (VERDICT r4 #2;
+                also switches backward to the whole-array grad path)
+  onehot4096 / onehot8192 — one-hot MXU backward threshold sweep past 2048
+
+Usage:
+  PYTHONPATH=/root/.axon_site:/root/repo python scripts/ceiling_r5.py \
+      [--variants base isogather fp8] [--small --platform cpu]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+VARIANTS = {
+    "base": dict(),
+    "isogather": dict(isolate_gather=True),
+    "fp8": dict(cache_dtype="float8_e4m3fn"),
+    "pallas": dict(use_pallas_lookup=True),
+    "onehot4096": dict(onehot_max_rows=4096),
+    "onehot8192": dict(onehot_max_rows=8192),
+    "onehot16384": dict(onehot_max_rows=16384),
+    "iso+onehot8192": dict(isolate_gather=True, onehot_max_rows=8192),
+}
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def ceiling(trainer, win, batch_size):
+    pw, sv = trainer._begin_window(win)
+    trainer._finish_window(pw)
+
+    def run(k):
+        losses = None
+        for _ in range(k):
+            losses = trainer._dispatch_window(win, sv, [0.0] * len(win))
+        _ = np.asarray(losses[-1:])
+
+    run(1)
+    t0 = time.time(); run(1); t1 = time.time(); run(4); t2 = time.time()
+    return ((t2 - t1) - (t1 - t0)) / 3 / len(win)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--variants", nargs="+",
+                   default=["base", "isogather", "fp8"],
+                   choices=sorted(VARIANTS))
+    p.add_argument("--threshold", type=int, default=500_000)
+    p.add_argument("--prefetch", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=16384)
+    p.add_argument("--warmup-iters", type=int, default=48)
+    p.add_argument("--repeats", type=int, default=2,
+                   help="ceiling measurements per variant (device time itself "
+                        "fluctuates with external chip load; report the min)")
+    p.add_argument("--platform", choices=["default", "cpu"], default="default")
+    p.add_argument("--init-timeout", type=int, default=300)
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture an xplane trace of the LAST variant's "
+                        "ceiling re-execution")
+    p.add_argument("--small", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import os
+        import threading
+
+        done = threading.Event()
+
+        def _watch():
+            if not done.wait(args.init_timeout):
+                log("FATAL: backend init timeout (tunnel down?)")
+                os._exit(17)
+
+        threading.Thread(target=_watch, daemon=True).start()
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    log(f"devices: {jax.devices()}")
+    if args.platform != "cpu":
+        done.set()
+
+    from cachedembedding_tpu.config import (
+        CRITEO_KAGGLE_NUM_EMBEDDINGS_PER_FEATURE,
+        CacheConfig,
+        DLRMConfig,
+    )
+    from cachedembedding_tpu.data.synthetic import SyntheticLongTailDataset
+    from cachedembedding_tpu.train import trainer as trainer_mod
+    from cachedembedding_tpu.train.trainer import CachedDLRMTrainer
+
+    tables = CRITEO_KAGGLE_NUM_EMBEDDINGS_PER_FEATURE
+    thr = args.threshold
+    if args.small:
+        tables = [100_000, 50_000, 20_000, 10_000] * 4
+        args.batch_size = min(args.batch_size, 256)
+        thr = min(thr, 30_000)
+
+    data = SyntheticLongTailDataset(
+        tables, args.batch_size,
+        num_batches=args.warmup_iters + args.prefetch,
+        dense_in_features=13, skew=0.5, seed=7, learnable_labels=False,
+    )
+    batches = [data.make_batch(i)
+               for i in range(args.warmup_iters + args.prefetch)]
+    win = batches[args.warmup_iters:]
+
+    results = []
+    for vi, name in enumerate(args.variants):
+        kn = dict(VARIANTS[name])
+        trainer_mod._ISOLATE_GATHER = kn.pop("isolate_gather", False)
+        cfg = DLRMConfig(
+            num_embeddings_per_feature=tables, embedding_dim=128,
+            dense_in_features=13, batch_size=args.batch_size,
+            learning_rate=1.0, compute_dtype="bfloat16",
+            dense_input_dtype="int8",
+            cache=CacheConfig(
+                cache_ratio=0.01, warmup_ratio=0.7,
+                prefetch_num=args.prefetch, buffer_size=0,
+                weight_init="virtual", transfer_dtype="bfloat16",
+                resident_threshold=thr, **kn,
+            ),
+        )
+        t0 = time.time()
+        trainer = CachedDLRMTrainer(cfg, id_freq_map=data.id_freq_map())
+        trainer.train(batches[: args.warmup_iters],
+                      num_iters=args.warmup_iters)
+        log(f"[{name}] trainer+warmup {time.time() - t0:.0f}s")
+        last = vi == len(args.variants) - 1
+        if args.profile_dir and last:
+            jax.profiler.start_trace(args.profile_dir)
+        per_iter = min(ceiling(trainer, win, args.batch_size)
+                       for _ in range(args.repeats))
+        if args.profile_dir and last:
+            jax.profiler.stop_trace()
+            log(f"profiler trace -> {args.profile_dir}")
+        ex_s = args.batch_size / per_iter if per_iter > 0 else float("nan")
+        log(f"[{name}] CEILING {per_iter * 1000:.2f} ms/iter = "
+            f"{ex_s:.0f} ex/s ({ex_s / 819200:.2f}x baseline)")
+        results.append((name, per_iter * 1000, ex_s))
+        del trainer
+        trainer_mod._ISOLATE_GATHER = False
+
+    log("\nsummary (round-4 default measured 15.0 ms/iter same scale):")
+    for name, ms, ex in results:
+        log(f"  {name:>14}: {ms:7.2f} ms/iter  {ex:9.0f} ex/s ({ex / 819200:.2f}x)")
+
+
+if __name__ == "__main__":
+    main()
