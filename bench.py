@@ -260,6 +260,13 @@ def main() -> None:
                         "scatter-add (ops/binned_scatter.py). Adds ~2x id "
                         "wire per window: the right trade on a real TPU-VM "
                         "host link; usually a loss on the tunnel")
+    p.add_argument("--id-wire", default="escape",
+                   choices=["plain", "escape", "ranktier"],
+                   help="id wire format (CacheConfig.id_wire). ranktier cuts "
+                        "the id block ~41%% (0.638 -> 0.375 MB/iter measured, "
+                        "benchmark/wire_ab.py) at the cost of a per-feature "
+                        "merge gather on device — wins on congested links, "
+                        "loses at quiet-link ceilings")
     p.add_argument("--cache-dtype", default="bfloat16",
                    help="HBM row-storage dtype. float32 removes the full-array "
                         "bf16<->f32 convert wrap XLA puts around 16-bit "
@@ -459,6 +466,7 @@ def main() -> None:
             weight_init=args.weight_init,
             transfer_dtype="bfloat16",
             cache_dtype=args.cache_dtype,
+            id_wire=args.id_wire,
             ship_sort_perm=args.ship_sort_perm,
             resident_threshold=0 if full_resident else args.resident_threshold,
         ),

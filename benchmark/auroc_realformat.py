@@ -88,12 +88,13 @@ def _mix(x: np.ndarray, salt: int) -> np.ndarray:
 
 
 def _zipf_ranks(rng, n_universe: int, size: int, skew: float = 0.5) -> np.ndarray:
-    """Inverse-CDF long-tail ranks in [0, n_universe) (the reference's
-    synthetic-generator shape, /root/reference/baselines/data/custom.py:84-93)."""
-    u = rng.random(size)
-    return (n_universe * u ** (1.0 / (1.0 - skew))).astype(np.int64).clip(
-        0, n_universe - 1
-    )
+    """Inverse-CDF Zipf ranks in [0, n_universe): P(id=k) ~ k^-(1+skew) —
+    the reference's synthetic-generator shape
+    (/root/reference/baselines/data/custom.py:84-93; u ~ U[(1/E)^s, 1],
+    id = u^(-1/s) - 1) at the bench's measured-realistic skew 0.5."""
+    lo = (1.0 / n_universe) ** skew
+    u = rng.uniform(lo, 1.0, size)
+    return (u ** (-1.0 / skew) - 1.0).astype(np.int64).clip(0, n_universe - 1)
 
 
 def generate_train_txt(path: str, rows: int, seed: int = 0,
@@ -126,11 +127,11 @@ def generate_train_txt(path: str, rows: int, seed: int = 0,
                     eff = (_mix(raw, salt=j * 104729 + 1).astype(np.int64) % 2001
                            - 1000).astype(np.float32) / 1000.0
                     logit += 0.9 * eff
-            # calibrated: positive rate ~0.265 (Criteo-like), Bayes AUROC of
-            # the true logit ~0.819 (measured at 300k rows) — a learner that
-            # actually learns the per-bucket embeddings lands in the
-            # reference's 0.74-0.77 regime
-            p = 1.0 / (1.0 + np.exp(-(logit - 0.9)))
+            # calibrated (fixed zipf, measured at 300k rows): positive rate
+            # ~0.26 (Criteo-like), Bayes AUROC of the true logit ~0.804 — a
+            # learner that actually learns the per-bucket embeddings lands in
+            # the reference's 0.74-0.77 regime
+            p = 1.0 / (1.0 + np.exp(-(logit - 1.4)))
             labels = (rng.random(n) < p).astype(np.uint8)
 
             # --- assemble ascii matrix ----------------------------------
@@ -195,7 +196,7 @@ def main() -> None:
     raw = os.path.join(work, "train.txt")
     days_dir = os.path.join(work, "days")
     npy_dir = os.path.join(work, "npy_kaggle")  # "kaggle" in the path selects the 7-day split (data/criteo.py stage_files)
-    stamp = os.path.join(work, f"fixture_{args.rows}_{args.seed}.done")
+    stamp = os.path.join(work, f"fixture_v2_{args.rows}_{args.seed}.done")
     if not os.path.exists(stamp):
         os.makedirs(npy_dir, exist_ok=True)
         generate_train_txt(raw, args.rows, seed=args.seed)

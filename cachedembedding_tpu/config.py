@@ -56,6 +56,14 @@ class CacheConfig:
     # round-to-nearest stagnates under small late-stage LRs (sub-ulp updates
     # always snap back). Applies to the fused-window dense-grad path; forces
     # the dense-grad path when on.
+    id_wire: str = "escape"            # id wire format: "plain" (per-feature
+    # fixed widths), "escape" (narrow base + escape list, see escape_pack),
+    # or "ranktier" — per-feature 2-bit tier selector + 4 packed substreams,
+    # with cached features remapped through a per-window top-K dictionary so
+    # the wire carries frequency RANKS (head-heavy: top-64 slots carry ~88%
+    # of the stream, benchmark/wire_entropy.py). Models at ~6-8 bits/id vs
+    # escape's 9.9; costs a cumsum+gather merge per feature on device, so
+    # the right default depends on link speed (docs/AB_REPORT.md round-5).
     escape_pack: bool = True           # escape-coded id wire format: learn
     # per-feature NARROW base widths from the live stream (hot-ranked ids are
     # small) + one window-level (pos, addr) escape list for the overflow tail.
@@ -111,6 +119,10 @@ class DLRMConfig:
 
     # precision
     compute_dtype: str = "float32"     # dense tower matmul dtype ("bfloat16" for MXU speed)
+    interaction_impl: str = "bmm"      # "bmm" (batched matmul + triu gather)
+    # or "gather" (fused static-gather multiply-reduce over the 351 needed
+    # pairs — avoids the (B, F, F) tensor and its layout copies; see
+    # models/dlrm.py INTERACTION_IMPL and docs/PERF_NOTES.md round-5)
     dense_input_dtype: str = "bfloat16"  # host->device payload dtype of DENSE
     # features (ids/labels are integral either way); inputs are upcast to
     # compute_dtype on device. bfloat16 halves input-link bytes; "int8"

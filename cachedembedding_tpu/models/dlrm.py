@@ -160,6 +160,63 @@ def _pairwise_dots_bwd(combined, g):
 _pairwise_dots.defvjp(_pairwise_dots_fwd, _pairwise_dots_bwd)
 
 
+# Interaction implementation switch (round-5 layout experiment). "bmm" is the
+# batched-matmul form above; "gather" computes only the 351 needed upper-
+# triangle pairs as a fused static-gather multiply-reduce — no (B, F, F)
+# tensor and none of the three ~0.3-0.4 ms/iter layout copies XLA inserts
+# around the bmm (xplane round-5: copy.492/493/494). Backward builds the
+# symmetrized cotangent with one small static (pairs, F*F) matmul and reuses
+# the bmm grad-dot. Set from DLRMConfig.interaction_impl at trainer init;
+# module-level because the model functions are pure and traced inside jit.
+INTERACTION_IMPL = "bmm"
+
+_GSYM_CACHE: Dict[Tuple[int, str], jnp.ndarray] = {}
+
+
+def _gsym_matrix(n: int, dtype) -> jnp.ndarray:
+    """(pairs, n*n) 0/1 matrix scattering a triu-pair cotangent to BOTH
+    (r, c) and (c, r) — g @ M reshaped is exactly (G + G^T) of the triu-only
+    cotangent the bmm path's VJP receives."""
+    key = (n, jnp.dtype(dtype).name)
+    if key not in _GSYM_CACHE:
+        r, c = _triu_indices(n)
+        M = np.zeros((r.size, n * n), np.float32)
+        M[np.arange(r.size), r * n + c] = 1.0
+        M[np.arange(r.size), c * n + r] = 1.0
+        _GSYM_CACHE[key] = jnp.asarray(M, dtype)
+    return _GSYM_CACHE[key]
+
+
+@jax.custom_vjp
+def _pairwise_triu_gather(combined: jnp.ndarray) -> jnp.ndarray:
+    """(B, pairs) upper-triangle pairwise dots of a (B, F, D) input, f32 MXU
+    accumulation; same reverse-mode-only limitation as _pairwise_dots."""
+    r, c = _triu_indices(combined.shape[1])
+    return jnp.einsum(
+        "bpd,bpd->bp", combined[:, r, :], combined[:, c, :],
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _ptg_fwd(combined):
+    return _pairwise_triu_gather(combined), combined
+
+
+def _ptg_bwd(combined, g):
+    B, n, _ = combined.shape
+    gsym = jnp.matmul(
+        g.astype(combined.dtype), _gsym_matrix(n, combined.dtype),
+        preferred_element_type=jnp.float32,
+    ).reshape(B, n, n).astype(combined.dtype)
+    d = jnp.einsum(
+        "bfg,bgd->bfd", gsym, combined, preferred_element_type=jnp.float32
+    )
+    return (d.astype(combined.dtype),)
+
+
+_pairwise_triu_gather.defvjp(_ptg_fwd, _ptg_bwd)
+
+
 def interaction_arch(
     dense_emb: Optional[jnp.ndarray], sparse_bfd: jnp.ndarray, dtype=jnp.float32
 ) -> jnp.ndarray:
@@ -178,9 +235,12 @@ def interaction_arch(
         )  # (B, F+1, D)
     else:
         combined = sparse_bfd.astype(dtype)
-    inter = _pairwise_dots(combined)
-    r, c = _triu_indices(combined.shape[1])
-    flat = inter[:, r, c]  # (B, n choose 2)
+    if INTERACTION_IMPL == "gather":
+        flat = _pairwise_triu_gather(combined)  # (B, n choose 2)
+    else:
+        inter = _pairwise_dots(combined)
+        r, c = _triu_indices(combined.shape[1])
+        flat = inter[:, r, c]  # (B, n choose 2)
     if dense_emb is not None:
         return jnp.concatenate([dense_emb, flat], axis=1)
     return flat

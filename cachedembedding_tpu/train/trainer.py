@@ -654,6 +654,76 @@ def _decode_window_ids(packed: jnp.ndarray, layout: tuple):
     P, L, B = layout[0], layout[1], layout[2]
     id_spec = layout[5]
     esc_budget = 0
+    if isinstance(id_spec, tuple) and id_spec and id_spec[0] == "rt":
+        # Rank-tier format (trainer._tier_encode): per feature either
+        #   ("p", w, delta)                       — plain block, may carry
+        #                                           window-level escapes, or
+        #   ("t", (w0..w3), delta, caps, dict_k)  — 2-bit selector + 4 packed
+        #     substreams; symbols are per-window dictionary RANKS for dict
+        #     features (tier 3 = raw addresses at plain width). Decode merges
+        #     the streams back to position order with a one-hot cumsum and a
+        #     single gather, then remaps ranks through the shipped dict.
+        _, entries, ne = id_spec
+        Bf = L // len(entries)
+        n = P * Bf
+        a = 0
+        cols = []
+        for ent in entries:
+            if ent[0] == "p":
+                _, w, delta = ent
+                nb = (n * w) // 8
+                v = _unpack_flat(packed[a : a + nb], n, w).reshape(P, Bf)
+                cols.append(v + delta if delta else v)
+                a += nb
+                continue
+            _, (w0, w1, w2, w3), delta, (c0, c1, c2, c3), dict_k = ent
+            sb = n // 4
+            u = packed[a : a + sb].astype(jnp.int32)
+            a += sb
+            sel = jnp.stack(
+                [u & 3, (u >> 2) & 3, (u >> 4) & 3, (u >> 6) & 3], axis=-1
+            ).reshape(-1)
+            dv = None
+            if dict_k:
+                db = 4 * dict_k
+                dv = jax.lax.bitcast_convert_type(
+                    packed[a : a + db].reshape(dict_k, 4), jnp.int32
+                )
+                a += db
+            streams = []
+            for ck, wk in ((c0, w0), (c1, w1), (c2, w2), (c3, w3)):
+                nb = (ck * wk) // 8
+                streams.append(_unpack_flat(packed[a : a + nb], ck, wk))
+                a += nb
+            T = jnp.concatenate(streams)
+            offs = jnp.array([0, c0, c0 + c1, c0 + c1 + c2], jnp.int32)
+            onehot = (sel[:, None] == jnp.arange(4, dtype=jnp.int32)).astype(
+                jnp.int32
+            )
+            pos = jnp.cumsum(onehot, axis=0) - onehot  # exclusive per tier
+            idx = (pos * onehot).sum(axis=1) + offs[sel]
+            sym = jnp.take(T, idx, mode="wrap")
+            if dv is not None:
+                v = jnp.where(
+                    sel == 3,
+                    sym,
+                    jnp.take(dv, jnp.clip(sym, 0, dict_k - 1), mode="wrap"),
+                )
+            else:
+                v = sym
+            v = v.reshape(P, Bf)
+            cols.append(v + delta if delta else v)
+        v = jnp.stack(cols, axis=1).reshape(P, L)
+        if ne:
+            pos = jax.lax.bitcast_convert_type(
+                packed[a : a + 4 * ne].reshape(ne, 4), jnp.int32
+            )
+            val = jax.lax.bitcast_convert_type(
+                packed[a + 4 * ne : a + 8 * ne].reshape(ne, 4), jnp.int32
+            )
+            a += 8 * ne
+            v = v.reshape(P * L).at[pos].set(val, mode="drop").reshape(P, L)
+        return v, a
     if isinstance(id_spec, tuple) and id_spec and id_spec[0] == "esc":
         # Escape-coded mixed-kernel format: per-feature base blocks at widths
         # NARROWER than the feature's full address range (learned from the
@@ -1106,6 +1176,11 @@ class CachedDLRMTrainer:
         # local-mean grads, /root/reference/recsys/dlrm_main.py:455-461 —
         # same effective update either way).
         self._ship_plan = bool(getattr(cache_cfg, "ship_sort_perm", False))
+        # interaction implementation switch (module-level: the model fns are
+        # pure and traced inside jit; see models/dlrm.py INTERACTION_IMPL)
+        import cachedembedding_tpu.models.dlrm as _dlrm_mod
+
+        _dlrm_mod.INTERACTION_IMPL = getattr(cfg, "interaction_impl", "bmm")
         srm = cache_cfg.stochastic_rounding
         # fp8 rows stagnate under deterministic rounding at small LRs; the
         # fused-window dense-grad path rounds stochastically (ops/rounding.py)
@@ -1131,6 +1206,13 @@ class CachedDLRMTrainer:
         self._esc_counts = None   # (F, n_widths) counts of subsampled ids >= 2^w
         self._esc_totals = 0      # subsampled ids per feature accumulated
         self._esc_spec = None     # frozen ("esc", ((w, delta), ...), ne)
+        # Rank-tier id wire (config id_wire="ranktier"; see _tier_encode):
+        self._id_wire = str(getattr(cache_cfg, "id_wire", "escape"))
+        if self._id_wire == "plain":
+            self._escape_pack = False
+        self._rt_seen = 0
+        self._rt_stats = None     # per-feature symbol-magnitude histograms
+        self._rt_spec = None      # frozen per-feature ("p", ...) / ("t", ...)
 
     # ------------------------------------------------------------------
     def _lrs(self, progress: float) -> tuple[float, float]:
@@ -1293,6 +1375,290 @@ class CachedDLRMTrainer:
         expect = sum((n * w) // 8 for w, _ in spec) + 8 * ne
         return np.concatenate(blocks), self._esc_spec, expect
 
+    # ---- rank-tier id wire (config id_wire="ranktier") -------------------
+    # Per-feature 2-bit tier selector + 4 packed substreams; cached features
+    # are remapped through a per-window top-K dictionary so the wire carries
+    # frequency RANKS. The stream is head-heavy (top-64 slots carry ~88%,
+    # benchmark/wire_entropy.py), so ranks/local-ids compress to ~6-8 bits/id
+    # vs the escape format's 9.9. Device decode: selector unpack -> one-hot
+    # cumsum -> single merge gather (+ dict gather for cached features) —
+    # see _decode_window_ids. Small features where tiers don't pay keep the
+    # escape-narrowed plain encoding inside the same window format.
+    _RT_WIDTHS = (4, 8, 12, 16)
+    _RT_SKIP_WINDOWS = 12     # coldest windows: distributions unrepresentative
+    _RT_LEARN_WINDOWS = 24    # accumulate stats over windows 13..24, freeze
+    _RT_CAP_MARGIN = 1.06     # cap padding is REAL wire: keep it tight and
+    _RT_T3_MARGIN = 1.5       # let the plain fallback absorb rare overflows
+    _RT_FALLBACK_RESET = 4    # consecutive cap-overflow fallbacks -> relearn
+    _RT_DICT_W = 12           # dict rank width during learning (1<<12 entries)
+
+    def _rt_dict_features(self, F: int) -> list:
+        """Which features get the per-window dictionary: cached ones (their
+        slot ids are arbitrary in [0, capacity)); resident locals are already
+        rank-like. All-cached bags dict every feature."""
+        isres = getattr(self.embed, "_is_res_table", None)
+        if isres is not None:
+            return [not bool(isres[f]) for f in range(F)]
+        return [isinstance(self.embed, CachedEmbeddingBag)] * F
+
+    @staticmethod
+    def _rt_rank_sym(vals: np.ndarray, dict_k: int):
+        """In-window rank symbols: sym[i] = frequency rank (hot -> 0) of
+        vals[i] among the window's top dict_k-1 values, -1 otherwise;
+        also returns the (dict_k,) i32 rank -> value table."""
+        uniq, inv, cnt = np.unique(vals, return_inverse=True, return_counts=True)
+        k = min(dict_k - 1, uniq.size)
+        if uniq.size > k:
+            part = np.argpartition(cnt, uniq.size - k)[-k:]
+            order = part[np.argsort(-cnt[part], kind="stable")]
+        else:
+            order = np.argsort(-cnt, kind="stable")
+        rank_of_uniq = np.full(uniq.size, -1, np.int64)
+        rank_of_uniq[order] = np.arange(order.size)
+        sym = rank_of_uniq[inv]
+        dv = np.zeros((dict_k,), np.int32)
+        dv[: order.size] = uniq[order]
+        return sym, dv
+
+    def _tier_learn(self, slot3: np.ndarray, spec, P: int, Bf: int) -> None:
+        F = len(spec)
+        if self._rt_stats is None:
+            self._rt_stats = {
+                "ge": np.zeros((F, len(self._RT_WIDTHS)), np.int64),
+                "t3": np.zeros((F,), np.int64),
+                "n": 0,
+            }
+        dictf = self._rt_dict_features(F)
+        st = self._rt_stats
+        for f, (w, delta) in enumerate(spec):
+            vals = slot3[:, f, :].reshape(-1)
+            if dictf[f] and w > 4:
+                sym, _ = self._rt_rank_sym(vals, 1 << self._RT_DICT_W)
+                st["t3"][f] += int((sym < 0).sum())
+                sym = sym[sym >= 0]
+            else:
+                sym = (vals - delta) if delta else vals
+            for k, wc in enumerate(self._RT_WIDTHS):
+                if wc >= w:
+                    break
+                st["ge"][f, k] += int((sym >= (1 << wc)).sum())
+        st["n"] += P * Bf
+        self._rt_seen += 1
+        if self._rt_seen >= self._RT_LEARN_WINDOWS - self._RT_SKIP_WINDOWS:
+            self._tier_freeze(spec)
+
+    def _tier_freeze(self, spec) -> None:
+        """Per feature, pick the cheaper of tier coding and escape-narrowed
+        plain (both costed from the learned histograms); freeze fractions so
+        per-window caps scale with P. Sets _rt_spec to False if nothing
+        improves on the plain widths."""
+        st = self._rt_stats
+        n_tot = max(st["n"], 1)
+        dictf = self._rt_dict_features(len(spec))
+        WS = self._RT_WIDTHS
+        entries = []
+        exp_escapes = 0.0
+        any_win = False
+        for f, (w, delta) in enumerate(spec):
+            ge = st["ge"][f] / n_tot          # P(sym >= 2^w), over ALL ids
+            t3_dict = st["t3"][f] / n_tot     # dict misses (dict features)
+            use_dict = dictf[f] and w > 4
+            p_ge = {wc: (ge[k] if wc < w else 0.0) for k, wc in enumerate(WS)}
+            # escape-narrowed plain cost (the existing format's rule). For
+            # dict features the learned histogram is over RANKS, not raw
+            # values, so escape costing is skipped (plain cost = w) — escape
+            # was weakest exactly there (arbitrary slot values).
+            esc_w, esc_cost = w, float(w)
+            for k, wc in enumerate(WS):
+                if wc >= w or use_dict:
+                    break
+                rate = ge[k]
+                if rate <= self._ESC_MAX_RATE and wc + rate * self._ESC_BITS < esc_cost:
+                    esc_w, esc_cost = wc, wc + rate * self._ESC_BITS
+            # tier cost: selector 2 + share-weighted widths + dict wire.
+            # 1-3 real sub-widths; unused tier slots are padded with the
+            # plain width w (their share is 0 by construction, so they cost
+            # nothing and the encoder's thresholds make them unreachable).
+            from itertools import combinations
+
+            best = None
+            cand = [
+                wc for wc in WS
+                if wc < w and (not use_dict or wc <= self._RT_DICT_W)
+            ]
+            pge = lambda wc: p_ge[wc] if wc < w else 0.0
+            n_win = n_tot / max(self._rt_seen, 1)
+            for r in (1, 2, 3):
+                for combo in combinations(cand, r):
+                    widths = tuple(combo) + (w,) * (3 - r)
+                    if use_dict:
+                        # the frozen dict holds 2^w_last - 1 entries: ranks
+                        # beyond it are UNRANKED at run time (raw tier 3),
+                        # even though learning ranked up to 2^_RT_DICT_W
+                        wl = widths[r - 1]
+                        s = (
+                            1.0 - t3_dict - pge(widths[0]),
+                            (pge(widths[0]) - pge(widths[1])) if r >= 2 else 0.0,
+                            (pge(widths[1]) - pge(widths[2])) if r >= 3 else 0.0,
+                            t3_dict + pge(wl),
+                        )
+                    else:
+                        # values above the last real width land in the first
+                        # PAD tier at the plain width (encoder thresholds),
+                        # which the pge(pad)=0 convention prices correctly
+                        s = (
+                            1.0 - pge(widths[0]),
+                            pge(widths[0]) - pge(widths[1]),
+                            pge(widths[1]) - pge(widths[2]),
+                            pge(widths[2]),
+                        )
+                    cost = 2.0 + sum(
+                        sk * wk for sk, wk in zip(s[:3], widths)
+                    ) + s[3] * w
+                    if use_dict:
+                        cost += 32.0 * (1 << widths[r - 1]) / n_win
+                    if best is None or cost < best[0]:
+                        dict_k = (1 << widths[r - 1]) if use_dict else 0
+                        best = (cost, widths + (w,), s, dict_k)
+            if best is not None and best[0] < min(esc_cost, w) - 0.25:
+                _, widths, shares, dict_k = best
+                entries.append(("t", widths, delta, shares, dict_k))
+                any_win = True
+            elif esc_w < w:
+                entries.append(("p", esc_w, delta, w))
+                exp_escapes += p_ge[esc_w]
+                any_win = True
+            else:
+                entries.append(("p", w, delta, w))
+        if not any_win:
+            self._rt_spec = False
+            return
+        self._rt_ne = int(2.0 * exp_escapes * (n_tot / self._rt_seen)) + 512
+        self._rt_spec = tuple(entries)
+
+    @staticmethod
+    def _rt_cap(share: float, n: int, margin: float = None) -> int:
+        m = CachedDLRMTrainer._RT_CAP_MARGIN if margin is None else margin
+        c = int(np.ceil(share * n * m)) + 256
+        c = min(c + (c % 2), n + (n % 2))
+        return c
+
+    def _tier_encode(self, slot3: np.ndarray, spec, P: int, L: int, Bf: int):
+        """Rank-tier window encode. Returns (bytes, layout_spec, nbytes);
+        ships the plain per-feature format while learning, after a freeze
+        with no winners, or when a window overflows its frozen caps."""
+        from cachedembedding_tpu._native import hostops
+
+        n = P * Bf
+        if self._rt_spec is None and n % 4 == 0:
+            self._rt_skip = getattr(self, "_rt_skip", 0) + 1
+            if self._rt_skip > self._RT_SKIP_WINDOWS:
+                self._tier_learn(slot3, spec, P, Bf)
+
+        def plain():
+            ws = np.array([w for w, _ in spec], np.int32)
+            ds = np.array([d for _, d in spec], np.int32)
+            res = hostops.escape_pack_window(slot3, ws, ws, ds, 0)
+            nb = sum((n * w) // 8 for w, _ in spec)
+            if res is not None and res is not False:
+                return res[0], tuple(spec), nb
+            blocks = [
+                hostops.pack_ids_any(
+                    slot3[:, f, :] - d if d else slot3[:, f, :], w
+                )
+                for f, (w, d) in enumerate(spec)
+            ]
+            return np.concatenate(blocks), tuple(spec), nb
+
+        if not self._rt_spec or n % 4:
+            return plain()
+
+        ne = self._rt_ne
+        entries_out = []
+        blocks = []
+        pos_parts, val_parts = [], []
+        esc_count = 0
+        for f, ent in enumerate(self._rt_spec):
+            vals = np.ascontiguousarray(slot3[:, f, :]).reshape(-1)
+            if ent[0] == "p":
+                _, w, delta, wp = ent
+                local = (vals - delta) if delta else vals
+                if w < wp:
+                    lim = 1 << w
+                    over = local >= lim
+                    cnt = int(over.sum())
+                    if cnt:
+                        esc_count += cnt
+                        if esc_count > ne:
+                            return plain()
+                        (pp,) = np.nonzero(over)
+                        pos_parts.append(
+                            ((pp // Bf) * L + f * Bf + (pp % Bf)).astype(np.uint32)
+                        )
+                        val_parts.append(
+                            np.ascontiguousarray(vals[pp], np.int32)
+                        )
+                        local = local & (lim - 1)
+                entries_out.append(("p", w, delta))
+                blocks.append(hostops.pack_ids_any(local, w))
+                continue
+            _, (w0, w1, w2, w3), delta, shares, dict_k = ent
+            if dict_k:
+                sym, dv = self._rt_rank_sym(vals, dict_k)
+                sym3 = (vals - delta) if delta else vals
+                tier = np.digitize(sym, [1 << w0, 1 << w1]).astype(np.int8)
+                tier[sym < 0] = 3
+            else:
+                sym = (vals - delta) if delta else vals
+                sym3 = sym
+                tier = np.digitize(
+                    sym, [1 << w0, 1 << w1, 1 << w2]
+                ).astype(np.int8)
+            caps = tuple(
+                self._rt_cap(
+                    s, n, self._RT_T3_MARGIN if k == 3 else None
+                )
+                for k, s in enumerate(shares)
+            )
+            cnts = np.bincount(tier, minlength=4)
+            if any(int(cnts[k]) > caps[k] for k in range(4)):
+                # drift: the frozen shares no longer describe the stream.
+                # Ship plain; after _RT_FALLBACK_RESET consecutive overflows
+                # drop the spec and relearn from the live stream.
+                self._rt_overflows = getattr(self, "_rt_overflows", 0) + 1
+                self._rt_overflow_info = (
+                    f, [int(x) for x in cnts], tuple(caps)
+                )
+                if self._rt_overflows >= self._RT_FALLBACK_RESET:
+                    self._rt_spec = None
+                    self._rt_stats = None
+                    self._rt_seen = 0
+                    self._rt_skip = self._RT_SKIP_WINDOWS  # already warm
+                    self._rt_overflows = 0
+                return plain()
+            self._rt_overflows = 0
+            t8 = tier.astype(np.uint8)
+            sel = (
+                t8[0::4] | (t8[1::4] << 2) | (t8[2::4] << 4) | (t8[3::4] << 6)
+            )
+            blocks.append(sel)
+            if dict_k:
+                blocks.append(dv.view(np.uint8))
+            for k, wk in enumerate((w0, w1, w2, w3)):
+                s = sym3[tier == 3] if k == 3 else sym[tier == k]
+                padded = np.zeros((caps[k],), np.int64)
+                padded[: s.size] = s
+                blocks.append(hostops.pack_ids_any(padded.astype(np.int32), wk))
+            entries_out.append(("t", (w0, w1, w2, w3), delta, caps, dict_k))
+        pos = np.full((ne,), P * L, np.uint32)
+        val = np.zeros((ne,), np.int32)
+        if esc_count:
+            pos[:esc_count] = np.concatenate(pos_parts)
+            val[:esc_count] = np.concatenate(val_parts)
+        blocks += [pos.view(np.uint8), val.view(np.uint8)]
+        out = np.concatenate(blocks)
+        return out, ("rt", tuple(entries_out), ne), out.nbytes
+
     def _begin_window(self, batches: List[Batch]):
         """Plan the window's cache maintenance (host directory / device state
         machine; no row movement yet). Returns (pw, window_input):
@@ -1378,9 +1744,14 @@ class CachedDLRMTrainer:
             if spec is not None:
                 Bf = L // F
                 slot3 = slot_ids_np.reshape(P, F, Bf)
-                ids_bytes, id_width, expect = self._escape_encode(
-                    slot3, spec, P, L, Bf
-                )
+                if self._id_wire == "ranktier":
+                    ids_bytes, id_width, expect = self._tier_encode(
+                        slot3, spec, P, L, Bf
+                    )
+                else:
+                    ids_bytes, id_width, expect = self._escape_encode(
+                        slot3, spec, P, L, Bf
+                    )
             else:
                 # Gate the pack width on L (the per-step id count), not P*L:
                 # 20-bit packing pairs ids over the flat stream, and the device
