@@ -39,6 +39,8 @@ VARIANTS = {
     "onehot8192": dict(onehot_max_rows=8192),
     "onehot16384": dict(onehot_max_rows=16384),
     "iso+onehot8192": dict(isolate_gather=True, onehot_max_rows=8192),
+    "intergather": dict(interaction_impl="gather"),
+    "ranktier": dict(id_wire="ranktier"),
 }
 
 
@@ -131,12 +133,15 @@ def main():
     results = []
     for vi, name in enumerate(args.variants):
         kn = dict(VARIANTS[name])
-        trainer_mod._ISOLATE_GATHER = kn.pop("isolate_gather", False)
+        trainer_mod._ISOLATE_GATHER = kn.pop(
+            "isolate_gather", trainer_mod._ISOLATE_GATHER
+        )
+        inter = kn.pop("interaction_impl", "bmm")
         cfg = DLRMConfig(
             num_embeddings_per_feature=tables, embedding_dim=128,
             dense_in_features=13, batch_size=args.batch_size,
             learning_rate=1.0, compute_dtype="bfloat16",
-            dense_input_dtype="int8",
+            dense_input_dtype="int8", interaction_impl=inter,
             cache=CacheConfig(
                 cache_ratio=0.01, warmup_ratio=0.7,
                 prefetch_num=args.prefetch, buffer_size=0,
@@ -162,7 +167,7 @@ def main():
             f"{ex_s:.0f} ex/s ({ex_s / 819200:.2f}x baseline)")
         results.append((name, per_iter * 1000, ex_s))
         del trainer
-        trainer_mod._ISOLATE_GATHER = False
+        trainer_mod._ISOLATE_GATHER = True  # module default since round 5
 
     log("\nsummary (round-4 default measured 15.0 ms/iter same scale):")
     for name, ms, ex in results:
