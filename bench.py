@@ -267,6 +267,12 @@ def main() -> None:
                         "benchmark/wire_ab.py) at the cost of a per-feature "
                         "merge gather on device — wins on congested links, "
                         "loses at quiet-link ceilings")
+    p.add_argument("--dense-wire", default="int8",
+                   choices=["float32", "bfloat16", "int8", "int4"],
+                   help="dense-feature wire dtype (CacheConfig via "
+                        "DLRMConfig.dense_input_dtype). int4 halves the int8 "
+                        "block (0.213 -> 0.107 MB/iter) with per-feature "
+                        "scales; AUROC-gated in tests/test_e2e.py")
     p.add_argument("--cache-dtype", default="bfloat16",
                    help="HBM row-storage dtype. float32 removes the full-array "
                         "bf16<->f32 convert wrap XLA puts around 16-bit "
@@ -448,10 +454,11 @@ def main() -> None:
         # bf16 towers: the TPU idiom (MXU-native); AUROC lift at bf16 is
         # covered by tests/test_e2e.py::test_training_lifts_auroc_bf16
         compute_dtype="bfloat16",
-        # int8 dense-feature transfers (range-scaled): the input link is
+        # Quantized dense-feature transfers (range-scaled): the input link is
         # serialized with compute, so bytes are wall time; AUROC retention is
-        # gated by tests/test_e2e.py::test_int8_dense_inputs_learn
-        dense_input_dtype="int8",
+        # gated by tests/test_e2e.py::test_int8_dense_inputs_learn /
+        # test_int4_dense_inputs_learn
+        dense_input_dtype=args.dense_wire,
         use_sparse_embed_grad=args.sparse_grad,
         cache=CacheConfig(
             cache_ratio=cache_ratio,

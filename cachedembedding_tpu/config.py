@@ -128,7 +128,11 @@ class DLRMConfig:
     # compute_dtype on device. bfloat16 halves input-link bytes; "int8"
     # quarters them with per-window range scaling (the dense features are
     # log-transformed counts on a narrow range, so 8-bit fixed point sits far
-    # below dataset noise — E2E AUROC lift is tested for both).
+    # below dataset noise — E2E AUROC lift is tested for both). "int4" halves
+    # the block again (nibble pairs, PER-FEATURE scale/lo so the 16-level
+    # grid tracks each column's range; AUROC-gated in tests/test_e2e.py;
+    # mesh mode floors at int8 — nibble pairing doesn't survive the batch
+    # shard).
     use_sparse_embed_grad: bool = False  # --use_sparse_embed_grad: force scatter-add SGD
 
     # embedding optimizer (beyond-reference: the reference is SGD-only).

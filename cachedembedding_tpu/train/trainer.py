@@ -68,6 +68,29 @@ def _quant_dense_window(batches) -> tuple:
     return q, np.array([scale, lo], np.float32)
 
 
+def _quant_dense_window4(batches) -> tuple:
+    """Nibble-packed int4 dense-feature wire with PER-FEATURE (scale, lo)
+    pairs (4 bits is too coarse for one global range; per-column ranges keep
+    the grid where each feature lives). Din is zero-padded to even so nibble
+    pairs never straddle a feature row. Decode: _unpack_dense "int4".
+    Halves the int8 dense block: 0.213 -> 0.107 MB/iter at the headline
+    config (docs/AB_REPORT.md round-5)."""
+    raw = np.stack([np.asarray(b.dense_features, np.float32) for b in batches])
+    P, B, Din = raw.shape
+    Dp = Din + (Din & 1)
+    lo = raw.min(axis=(0, 1))
+    scale = (raw.max(axis=(0, 1)) - lo) / 15.0
+    scale[scale == 0.0] = 1.0
+    q = np.round((raw - lo) / scale).astype(np.uint8)
+    if Dp != Din:
+        q = np.concatenate([q, np.zeros((P, B, 1), np.uint8)], axis=2)
+    packed = q[:, :, 0::2] | (q[:, :, 1::2] << 4)
+    meta = np.zeros((2, Dp), np.float32)
+    meta[0, :Din] = scale
+    meta[1, :Din] = lo
+    return packed, meta.reshape(-1)
+
+
 def _fetch_mode(payload: np.ndarray) -> str:
     """Static wire format of the fetched-admit payload block."""
     if payload.dtype == np.uint8:
@@ -595,6 +618,17 @@ def _apply_packed_admits(cache_weight, cache_accum, packed, c, layout, seed,
 
 def _unpack_dense(packed, a, P, B, Din, dmode):
     """Decode the dense-features block at offset ``a``; returns (feats, end)."""
+    if dmode == "int4":
+        Dp = Din + (Din & 1)
+        meta = jax.lax.bitcast_convert_type(
+            packed[a : a + 8 * Dp].reshape(2, Dp, 4), jnp.float32
+        )
+        a += 8 * Dp
+        end = a + P * B * Dp // 2
+        b = packed[a:end].reshape(P, B, Dp // 2).astype(jnp.int32)
+        q = jnp.stack([b & 0xF, b >> 4], axis=-1).reshape(P, B, Dp)
+        feats = q.astype(jnp.float32) * meta[0] + meta[1]
+        return feats[:, :, :Din], end
     if dmode == "int8":
         meta = jax.lax.bitcast_convert_type(packed[a : a + 8].reshape(2, 4), jnp.float32)
         a += 8
@@ -1706,7 +1740,15 @@ class CachedDLRMTrainer:
             B, Din = f0.batch_size, self.cfg.dense_in_features
             dmode = self.cfg.dense_input_dtype
             if self.mesh is not None:
+                # Mesh mode ships dense as a separate batch-sharded array;
+                # int4's nibble pairing doesn't survive the batch-axis shard,
+                # so the mesh wire floors at int8 (ICI/DCN links make the
+                # difference immaterial there).
+                if dmode == "int4":
+                    dmode = "int8"
                 dense = labels = dense_meta = None
+            elif dmode == "int4":
+                dense, dense_meta = _quant_dense_window4(batches)
             elif dmode == "int8":
                 dense, dense_meta = _quant_dense_window(batches)
             else:
@@ -1944,8 +1986,12 @@ class CachedDLRMTrainer:
         )
         dmode = self.cfg.dense_input_dtype
         parts = [ids_bytes, lens_bytes]
-        if dmode == "int8":
-            q, meta = _quant_dense_window(batches)
+        if dmode in ("int8", "int4"):
+            q, meta = (
+                _quant_dense_window4(batches)
+                if dmode == "int4"
+                else _quant_dense_window(batches)
+            )
             parts.append(meta.view(np.uint8))
             parts.append(q.reshape(-1))
         else:

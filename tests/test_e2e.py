@@ -198,3 +198,25 @@ def test_int8_dense_inputs_learn():
         trainer.train(data, num_iters=30)
         aurocs[dmode] = trainer.evaluate(eval_data)["auroc"]
     assert aurocs["int8"] > aurocs["float32"] - 0.01, aurocs
+
+
+def test_int4_dense_inputs_learn():
+    """int4 dense-feature transfers (eighth of the f32 input-link bytes,
+    per-feature scales) must retain the AUROC lift of the f32 path on the
+    same data. Odd dense_in_features exercises the nibble padding."""
+    tables = [1000, 2000, 500, 300]
+    aurocs = {}
+    for dmode in ("float32", "int4"):
+        cfg = _cfg(tables, prefetch_num=2)
+        cfg.learning_rate = 0.3
+        cfg.dense_input_dtype = dmode
+        data = SyntheticLongTailDataset(
+            tables, cfg.batch_size, num_batches=30, dense_in_features=5, seed=3
+        )
+        eval_data = SyntheticLongTailDataset(
+            tables, cfg.batch_size, num_batches=5, dense_in_features=5, seed=99
+        )
+        trainer = CachedDLRMTrainer(cfg, id_freq_map=data.id_freq_map())
+        trainer.train(data, num_iters=30)
+        aurocs[dmode] = trainer.evaluate(eval_data)["auroc"]
+    assert aurocs["int4"] > aurocs["float32"] - 0.015, aurocs
