@@ -484,6 +484,8 @@ def main() -> None:
         + "_train_throughput"
     )
 
+    seg_audit = []  # exclusion audit entries, maintained by select_best
+
     def record(ex_s: float, steady: bool = False) -> None:
         rec = {
             "metric": metric_name,
@@ -491,6 +493,8 @@ def main() -> None:
             "unit": "examples/s",
             "vs_baseline": round(ex_s / baseline, 4),
         }
+        if seg_audit:
+            rec["excluded_segments"] = list(seg_audit)
         # A same-round steady floor record beats a slower live number (both
         # are real measurements of identical code+flags; the floor is steady-
         # churning by construction, so it is at least as representative).
@@ -619,18 +623,37 @@ def main() -> None:
         best_it = max(x[1] for x in runs)
         med_link = float(np.median([x[4] for x in runs]))
 
-        def _stalled(x):
+        def _stall_reason(x):
             if x[1] < 0.1 * best_it:
-                return True
-            return x[1] < 0.25 * best_it and (x[5] or x[4] < 0.5 * med_link)
+                return ">=10x below best segment"
+            if x[1] < 0.25 * best_it:
+                if x[5]:
+                    return "4x-slow + compile-cache grew during segment"
+                if x[4] < 0.5 * med_link:
+                    return (f"4x-slow + link {x[4]:.0f} MB/s < half of "
+                            f"median {med_link:.0f}")
+            return None
 
-        stalled = [x for x in runs if _stalled(x)]
-        for x in runs:
-            if x[1] < 0.25 * best_it and x not in stalled:
+        # Exclusion audit trail rides the emitted JSON (excluded_segments)
+        # so the headline number is auditable without the stderr log.
+        seg_audit.clear()
+        stalled = []
+        for i, x in enumerate(runs):
+            reason = _stall_reason(x)
+            if reason is not None:
+                stalled.append(x)
+                seg_audit.append(
+                    {"segment": i, "ex_s": round(x[0], 1), "reason": reason})
+            elif x[1] < 0.25 * best_it:
                 log(f"slow segment KEPT at {x[0]:.0f} ex/s: no compile-cache "
                     f"growth and link {x[4]:.0f} MB/s ~ median {med_link:.0f}")
         live = [x for x in runs if x not in stalled] or runs
         degraded = [x for x in live if x[4] < 0.5 * med_link]
+        for x in degraded:
+            seg_audit.append(
+                {"segment": runs.index(x), "ex_s": round(x[0], 1),
+                 "reason": f"link probe {x[4]:.0f} MB/s < half of median "
+                           f"{med_link:.0f} (weather-degraded)"})
         clear = [x for x in live if x not in degraded] or live
         churning = [x for x in clear if x[3].swap_out_bytes > 0]
         pool = churning or clear  # resident runs never churn
@@ -684,9 +707,9 @@ def main() -> None:
 
     best, churning, degraded = select_best()
     if best is not None:
-        for x in degraded:
-            log(f"degraded segment at {x[0]:.0f} ex/s: link probe "
-                f"{x[4]:.0f} MB/s < half of median (excluded from stats)")
+        for a in seg_audit:
+            log(f"excluded segment {a['segment']} at {a['ex_s']:.0f} ex/s: "
+                f"{a['reason']}")
         if not churning and not full_resident:
             log("WARNING: no segment carried eviction writebacks — number "
                 "excludes steady-state swap cost; raise --iters")
