@@ -8,6 +8,8 @@
 // Build: make -C cachedembedding_tpu/_native   (produces libhostops.so)
 // Loaded via ctypes from hostops.py; numpy fallback when absent.
 
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <random>
@@ -454,6 +456,308 @@ void overlay_scatter_f32(void* h, const int64_t* ids, const float* vals, int64_t
     }
     std::memcpy(&t.rows[s * t.dim], vals + i * t.dim, t.dim * sizeof(float));
   }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Rank-tier window id encoder (trainer._tier_encode steady-state path).
+//
+// The numpy encoder costs ~220 ms per headline window (np.unique sorts 131k
+// values per dict feature) and this host has ONE core, so that would make
+// the host the critical path (device budget ~115 ms/window) — which is why
+// id_wire="ranktier" could not be the default. This implementation is
+// sort-free and stateful:
+//   * rank dictionaries persist across windows (rt_state_create) and are
+//     REBUILT only every few windows (rebuild=1): the dict ships with every
+//     window anyway, so encoding against a slightly stale dict decodes
+//     exactly — drift only shifts tier shares, which the caps guard.
+//   * the per-window work is ONE merged pass per feature: rank lookup ->
+//     tier -> selector byte -> carry-based substream bit-packing, no
+//     intermediate arrays.
+// Features run in parallel when cores exist (independent output blocks).
+//
+// Byte layout per feature (must match the numpy encoder in
+// train/trainer.py::_tier_encode and the device decode _decode_window_ids):
+//   plain entry ("p", w, delta):  n ids packed at w bits (after -delta),
+//     overflowing ids (only when w < plain width) masked and recorded as
+//     window-level (u32 flat pos, i32 raw id) escapes, ordered (f, p, j).
+//   tier entry ("t", (w0..w3), delta, caps, dict_k):
+//     [n/4 selector bytes: 4x 2-bit tiers, little-endian]
+//     [dict_k x i32 LE rank->value dict, when dict_k > 0]
+//     [4 substreams, tier k zero-padded to caps[k] ids packed at wk bits]
+// Dict rank ties (equal counts) may order differently from numpy — the
+// decode is invariant (dict and symbols ship together).
+
+namespace {
+
+struct RtPacker {  // carry-based nibble-aligned bit packer (pairs for w%8)
+  uint8_t* dst;
+  int w;
+  uint32_t pending;
+  bool has_pending;
+  int64_t count;
+  void init(uint8_t* d, int width) {
+    dst = d;
+    w = width;
+    pending = 0;
+    has_pending = false;
+    count = 0;
+  }
+  inline void push(uint32_t v) {
+    ++count;
+    if (w == 32) {
+      std::memcpy(dst, &v, 4);
+      dst += 4;
+    } else if (w == 8) {
+      *dst++ = static_cast<uint8_t>(v);
+    } else if (w % 8 == 0) {  // 16 / 24
+      for (int j = 0; j < w / 8; ++j) *dst++ = (v >> (8 * j)) & 0xFF;
+    } else if (has_pending) {
+      pack_pair_le(dst, pending, v, w);
+      dst += w / 4;
+      has_pending = false;
+    } else {
+      pending = v;
+      has_pending = true;
+    }
+  }
+  // zero-pad to cap elements (same bytes as packing a zero-padded stream)
+  void finish(int64_t cap) {
+    if (has_pending) {
+      pack_pair_le(dst, pending, 0, w);
+      dst += w / 4;
+      has_pending = false;
+      ++count;
+    }
+    const int64_t rest = cap - count;
+    if (rest > 0) {
+      const int64_t nb = (rest * w) / 8;
+      std::memset(dst, 0, static_cast<size_t>(nb));
+      dst += nb;
+    }
+  }
+};
+
+struct RtState {
+  int64_t F = 0, max_val = 0;
+  std::vector<int32_t> ent_type, deltas, plain_w, dict_ks;  // (F,)
+  std::vector<int32_t> widths, caps;                        // (F, 4)
+  // dict features only (empty vectors otherwise):
+  std::vector<std::vector<int32_t>> rank;   // rank_of[value]; -1 = unranked
+  std::vector<std::vector<int32_t>> dictv;  // (dict_k,) current dict
+  std::vector<std::vector<int32_t>> uniq;   // values touched at last rebuild
+};
+
+}  // namespace
+
+extern "C" {
+
+void* rt_state_create(int64_t F, int64_t max_val, const int32_t* ent_type,
+                      const int32_t* widths, const int32_t* deltas,
+                      const int32_t* plain_w, const int32_t* caps,
+                      const int32_t* dict_ks) {
+  auto* st = new RtState();
+  st->F = F;
+  st->max_val = max_val;
+  st->ent_type.assign(ent_type, ent_type + F);
+  st->deltas.assign(deltas, deltas + F);
+  st->plain_w.assign(plain_w, plain_w + F);
+  st->dict_ks.assign(dict_ks, dict_ks + F);
+  st->widths.assign(widths, widths + F * 4);
+  st->caps.assign(caps, caps + F * 4);
+  st->rank.resize(F);
+  st->dictv.resize(F);
+  st->uniq.resize(F);
+  for (int64_t f = 0; f < F; ++f) {
+    if (st->ent_type[f] == 1 && st->dict_ks[f] > 0) {
+      st->rank[f].assign(static_cast<size_t>(max_val), -1);
+      st->dictv[f].assign(static_cast<size_t>(st->dict_ks[f]), 0);
+    }
+  }
+  return st;
+}
+
+void rt_state_free(void* h) { delete static_cast<RtState*>(h); }
+
+// Returns the escape count (>= 0) on success, -1 on a tier-cap overflow
+// (overflow_info = [f, cnt0..3, cap0..3]; caller ships the plain format),
+// -2 when plain-entry escapes exceed max_overflow.
+int64_t rt_encode_window(void* h, const int32_t* slot3, int64_t P, int64_t Bf,
+                         int32_t rebuild, const int64_t* out_offsets,
+                         uint8_t* out, uint32_t* opos, int32_t* oval,
+                         int64_t max_overflow, int32_t* overflow_info) {
+  RtState& st = *static_cast<RtState*>(h);
+  const int64_t F = st.F;
+  const int64_t L = F * Bf;
+  const int64_t n = P * Bf;
+  // pass 1: per-feature escape counts (plain narrowed features only)
+  std::vector<int64_t> esc_cnt(F, 0);
+  bool any_narrowed = false;
+  for (int64_t f = 0; f < F; ++f)
+    any_narrowed |= (st.ent_type[f] == 0 && st.widths[f * 4] < st.plain_w[f]);
+  if (any_narrowed) {
+    parallel_for(F, 1, [&](int64_t flo, int64_t fhi) {
+      for (int64_t f = flo; f < fhi; ++f) {
+        if (st.ent_type[f] != 0) continue;
+        const int w = st.widths[f * 4];
+        if (w >= st.plain_w[f]) continue;
+        const uint32_t lim = 1u << w;
+        const int32_t delta = st.deltas[f];
+        int64_t c = 0;
+        for (int64_t p = 0; p < P; ++p) {
+          const int32_t* v = slot3 + (p * F + f) * Bf;
+          for (int64_t j = 0; j < Bf; ++j)
+            c += (static_cast<uint32_t>(v[j] - delta) >= lim);
+        }
+        esc_cnt[f] = c;
+      }
+    });
+  }
+  std::vector<int64_t> esc_off(F + 1, 0);
+  for (int64_t f = 0; f < F; ++f) esc_off[f + 1] = esc_off[f] + esc_cnt[f];
+  if (esc_off[F] > max_overflow) return -2;
+
+  std::atomic<int64_t> failed{-1};
+  parallel_for(F, 1, [&](int64_t flo, int64_t fhi) {
+    std::vector<int32_t> counts;  // per-worker rebuild scratch
+    for (int64_t f = flo; f < fhi; ++f) {
+      if (failed.load(std::memory_order_relaxed) >= 0) return;
+      uint8_t* dst = out + out_offsets[f];
+      const int32_t delta = st.deltas[f];
+      if (st.ent_type[f] == 0) {
+        // plain entry: pack + record escapes in one pass
+        const int w = st.widths[f * 4];
+        const bool narrowed = w < st.plain_w[f];
+        const uint32_t mask = (w >= 32) ? 0xFFFFFFFFu : ((1u << w) - 1);
+        uint32_t* ep = opos + esc_off[f];
+        int32_t* ev = oval + esc_off[f];
+        RtPacker pk;
+        pk.init(dst, w);
+        for (int64_t p = 0; p < P; ++p) {
+          const int32_t* v = slot3 + (p * F + f) * Bf;
+          const uint32_t pos0 = static_cast<uint32_t>(p * L + f * Bf);
+          for (int64_t j = 0; j < Bf; ++j) {
+            uint32_t local = static_cast<uint32_t>(v[j] - delta);
+            if (narrowed && local > mask) {
+              *ep++ = pos0 + static_cast<uint32_t>(j);
+              *ev++ = v[j];  // RAW id
+              local &= mask;
+            }
+            pk.push(local);
+          }
+        }
+        pk.finish(n);
+        continue;
+      }
+      // tier entry
+      const int32_t* W = &st.widths[f * 4];
+      const int32_t* C = &st.caps[f * 4];
+      const int64_t dict_k = st.dict_ks[f];
+      int32_t* rank = dict_k > 0 ? st.rank[f].data() : nullptr;
+      if (dict_k > 0 && rebuild) {
+        // re-rank this feature from the current window's frequencies
+        if (static_cast<int64_t>(counts.size()) < st.max_val)
+          counts.assign(static_cast<size_t>(st.max_val), 0);
+        std::vector<int32_t>& uq = st.uniq[f];
+        // clear the previous ranking
+        for (int32_t v : uq) rank[v] = -1;
+        uq.clear();
+        for (int64_t p = 0; p < P; ++p) {
+          const int32_t* v = slot3 + (p * F + f) * Bf;
+          for (int64_t j = 0; j < Bf; ++j) {
+            if (j + 16 < Bf) __builtin_prefetch(&counts[v[j + 16]], 1, 0);
+            if (counts[v[j]]++ == 0) uq.push_back(v[j]);
+          }
+        }
+        const int64_t U = static_cast<int64_t>(uq.size());
+        const int64_t k = std::min<int64_t>(dict_k - 1, U);
+        if (U > k) {
+          std::nth_element(uq.begin(), uq.begin() + k, uq.end(),
+                           [&](int32_t a, int32_t b) {
+                             return counts[a] > counts[b];
+                           });
+        }
+        std::sort(uq.begin(), uq.begin() + k,
+                  [&](int32_t a, int32_t b) { return counts[a] > counts[b]; });
+        std::vector<int32_t>& dv = st.dictv[f];
+        std::fill(dv.begin(), dv.end(), 0);
+        for (int64_t r = 0; r < k; ++r) {
+          dv[r] = uq[r];
+          rank[uq[r]] = static_cast<int32_t>(r);
+        }
+        for (int32_t v : uq) counts[v] = 0;  // clean worker scratch
+      }
+      // merged encode pass: rank -> tier -> selector + substreams
+      uint8_t* sel_dst = dst;
+      uint8_t* sdst = dst + n / 4;
+      if (dict_k > 0) {
+        std::memcpy(sdst, st.dictv[f].data(),
+                    static_cast<size_t>(dict_k) * 4);
+        sdst += dict_k * 4;
+      }
+      RtPacker pk[4];
+      for (int t = 0; t < 4; ++t) {
+        pk[t].init(sdst, W[t]);
+        sdst += (static_cast<int64_t>(C[t]) * W[t]) / 8;
+      }
+      const uint32_t lim0 = 1u << W[0], lim1 = 1u << W[1], lim2 = 1u << W[2];
+      const uint32_t maxv = static_cast<uint32_t>(st.max_val);
+      bool over = false;
+      int64_t i = 0;
+      uint8_t selbyte = 0;
+      for (int64_t p = 0; p < P && !over; ++p) {
+        const int32_t* v = slot3 + (p * F + f) * Bf;
+        for (int64_t j = 0; j < Bf; ++j, ++i) {
+          uint32_t t, sym;
+          if (dict_k > 0) {
+            if (j + 16 < Bf) {  // hide the random rank-lookup DRAM latency
+              const uint32_t pv = static_cast<uint32_t>(v[j + 16]);
+              if (pv < maxv) __builtin_prefetch(&rank[pv], 0, 0);
+            }
+            const uint32_t uv = static_cast<uint32_t>(v[j]);
+            const int32_t r = uv < maxv ? rank[uv] : -1;
+            if (r < 0) {
+              t = 3;
+              sym = static_cast<uint32_t>(v[j] - delta);
+            } else {
+              const uint32_t ur = static_cast<uint32_t>(r);
+              t = ur < lim0 ? 0 : (ur < lim1 ? 1 : 2);
+              sym = ur;
+            }
+          } else {
+            sym = static_cast<uint32_t>(v[j] - delta);
+            t = sym < lim0 ? 0 : (sym < lim1 ? 1 : (sym < lim2 ? 2 : 3));
+          }
+          selbyte |= static_cast<uint8_t>(t) << (2 * (i & 3));
+          if ((i & 3) == 3) {
+            sel_dst[i >> 2] = selbyte;
+            selbyte = 0;
+          }
+          RtPacker& q = pk[t];
+          if (q.count >= C[t]) {  // cap overflow: distribution drifted
+            over = true;
+            break;
+          }
+          q.push(sym);
+        }
+      }
+      if (over) {
+        int64_t expect = -1;
+        if (failed.compare_exchange_strong(expect, f)) {
+          overflow_info[0] = static_cast<int32_t>(f);
+          for (int t = 0; t < 4; ++t) {
+            overflow_info[1 + t] = static_cast<int32_t>(pk[t].count);
+            overflow_info[5 + t] = C[t];
+          }
+        }
+        return;
+      }
+      for (int t = 0; t < 4; ++t) pk[t].finish(C[t]);
+    }
+  });
+  if (failed.load() >= 0) return -1;
+  return esc_off[F];
 }
 
 }  // extern "C"

@@ -74,6 +74,19 @@ def _load_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ]
         lib.escape_pack_window_i32.restype = ctypes.c_int64
+        lib.rt_state_create.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.rt_state_create.restype = ctypes.c_void_p
+        lib.rt_state_free.argtypes = [ctypes.c_void_p]
+        lib.rt_encode_window.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.rt_encode_window.restype = ctypes.c_int64
         lib.fill_rows_canonical.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_uint32, ctypes.c_float,
@@ -82,7 +95,7 @@ def _load_lib():
         lib.alloc_hugepage.restype = ctypes.c_void_p
         lib.free_hugepage.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):  # missing .so or a stale build
         _LIB = None
     return _LIB
 
@@ -325,6 +338,107 @@ def escape_pack_window(
     if cnt < 0:
         return False
     return out, opos[:cnt], oval[:cnt]
+
+
+class RankTierEncoder:
+    """Stateful native rank-tier window encoder (trainer._tier_encode's
+    steady-state path in ONE C++ call per window). The numpy encoder costs
+    ~220 ms per headline window — np.unique sorts 131k values per dict
+    feature — and this host has one core, so it would become the critical
+    path (device budget ~115 ms/window); this class is what makes
+    id_wire="ranktier" defaultable.
+
+    Rank dictionaries persist across windows inside the C++ state and are
+    rebuilt only when ``encode(..., rebuild=True)``: the dict ships with
+    every window, so encoding against a slightly stale dict decodes exactly —
+    drift only shifts tier shares, which the frozen caps guard (overflow ->
+    plain fallback, same as the numpy path). Dict rank TIE-BREAKS may differ
+    from numpy's argpartition; the decode is invariant.
+
+    Construct via ``make_ranktier_encoder`` (returns None without the lib)."""
+
+    def __init__(self, lib, entries: tuple, caps_per_feature: list, max_val: int):
+        F = len(entries)
+        ent_type = np.zeros((F,), np.int32)
+        widths = np.zeros((F, 4), np.int32)
+        deltas = np.zeros((F,), np.int32)
+        plain_w = np.zeros((F,), np.int32)
+        caps = np.zeros((F, 4), np.int32)
+        dict_ks = np.zeros((F,), np.int32)
+        # per-element byte sizes: [n-multiplier, constant] per feature
+        self._sz_mul = np.zeros((F,), np.float64)
+        self._sz_const = np.zeros((F,), np.int64)
+        for f, ent in enumerate(entries):
+            if ent[0] == "p":
+                _, w, delta, wp = ent
+                widths[f, 0] = w
+                deltas[f] = delta
+                plain_w[f] = wp
+                self._sz_mul[f] = w / 8.0
+            else:
+                _, ws, delta, _shares, dict_k = ent
+                ent_type[f] = 1
+                widths[f] = ws
+                deltas[f] = delta
+                dict_ks[f] = dict_k
+                cf = caps_per_feature[f]
+                caps[f] = cf
+                self._sz_mul[f] = 0.25  # selector bytes
+                self._sz_const[f] = 4 * dict_k + sum(
+                    (int(c) * int(w)) // 8 for c, w in zip(cf, ws)
+                )
+        self._lib = lib
+        self._handle = lib.rt_state_create(
+            F, int(max_val),
+            ent_type.ctypes.data, widths.ctypes.data, deltas.ctypes.data,
+            plain_w.ctypes.data, caps.ctypes.data, dict_ks.ctypes.data,
+        )
+        self._F = F
+
+    def __del__(self):
+        h = getattr(self, "_handle", None)
+        if h:
+            self._lib.rt_state_free(h)
+            self._handle = None
+
+    def encode(self, slot3: np.ndarray, max_overflow: int, rebuild: bool):
+        """Encode one (P, F, Bf) window. Returns (feature_block_bytes,
+        esc_pos u32 (count,), esc_val i32 (count,)), or ("overflow", f,
+        cnts, caps) on a tier-cap overflow, or "esc_overflow" when plain
+        escapes exceed ``max_overflow`` (caller ships the plain format).
+        The FIRST call must pass rebuild=True (dictionaries start empty)."""
+        P, F, Bf = slot3.shape
+        assert F == self._F
+        n = P * Bf
+        slot3 = np.ascontiguousarray(slot3, np.int32)
+        sizes = (self._sz_mul * n).astype(np.int64) + self._sz_const
+        offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+        out = np.empty((int(offs[-1]),), np.uint8)
+        cap_esc = max(int(max_overflow), 1)
+        opos = np.empty((cap_esc,), np.uint32)
+        oval = np.empty((cap_esc,), np.int32)
+        info = np.zeros((9,), np.int32)
+        cnt = self._lib.rt_encode_window(
+            self._handle, slot3.ctypes.data, P, Bf, 1 if rebuild else 0,
+            offs.ctypes.data, out.ctypes.data,
+            opos.ctypes.data, oval.ctypes.data, int(max_overflow),
+            info.ctypes.data,
+        )
+        if cnt == -1:
+            return ("overflow", int(info[0]), [int(x) for x in info[1:5]],
+                    tuple(int(x) for x in info[5:9]))
+        if cnt == -2:
+            return "esc_overflow"
+        return out, opos[:cnt], oval[:cnt]
+
+
+def make_ranktier_encoder(entries: tuple, caps_per_feature: list, max_val: int):
+    """RankTierEncoder factory; None when the native lib is absent (caller
+    runs the numpy encoder)."""
+    lib = _load_lib()
+    if lib is None or not hasattr(lib, "rt_state_create"):
+        return None
+    return RankTierEncoder(lib, entries, caps_per_feature, max_val)
 
 
 def sort_plan(ids: np.ndarray, num_rows: int, block_rows: int = 256):

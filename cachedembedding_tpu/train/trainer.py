@@ -1247,6 +1247,9 @@ class CachedDLRMTrainer:
         self._rt_seen = 0
         self._rt_stats = None     # per-feature symbol-magnitude histograms
         self._rt_spec = None      # frozen per-feature ("p", ...) / ("t", ...)
+        self._rt_caps_cache = {}  # n -> per-feature caps (native encoder)
+        self._rt_encoders = {}    # n -> hostops.RankTierEncoder (native state)
+        self._rt_enc_windows = 0
 
     # ------------------------------------------------------------------
     def _lrs(self, progress: float) -> tuple[float, float]:
@@ -1425,6 +1428,10 @@ class CachedDLRMTrainer:
     _RT_T3_MARGIN = 1.5       # let the plain fallback absorb rare overflows
     _RT_FALLBACK_RESET = 4    # consecutive cap-overflow fallbacks -> relearn
     _RT_DICT_W = 12           # dict rank width during learning (1<<12 entries)
+    _RT_REBUILD = 8           # native encoder: re-rank dictionaries every
+    # this many windows (a stale dict decodes exactly — it ships per window —
+    # and amortizing the ranking pass keeps the one-core host off the
+    # critical path; drift is guarded by the frozen caps)
 
     def _rt_dict_features(self, F: int) -> list:
         """Which features get the per-window dictionary: cached ones (their
@@ -1569,6 +1576,8 @@ class CachedDLRMTrainer:
             return
         self._rt_ne = int(2.0 * exp_escapes * (n_tot / self._rt_seen)) + 512
         self._rt_spec = tuple(entries)
+        self._rt_caps_cache = {}
+        self._rt_encoders = {}
 
     @staticmethod
     def _rt_cap(share: float, n: int, margin: float = None) -> int:
@@ -1576,6 +1585,88 @@ class CachedDLRMTrainer:
         c = int(np.ceil(share * n * m)) + 256
         c = min(c + (c % 2), n + (n % 2))
         return c
+
+    def _tier_encode_native(self, slot3, P: int, L: int, n: int, ne: int, plain):
+        """One-call C++ steady-state rank-tier encode
+        (hostops.RankTierEncoder). Returns the (bytes, layout, nbytes)
+        triple, or None when the native lib is absent (caller runs the numpy
+        encoder). The numpy path costs ~220 ms per headline window (np.unique
+        sorts 131k values per dict feature) — far over the ~115 ms device
+        budget on this one-core host — so the native encoder is what makes
+        ranktier defaultable. Rank dictionaries persist in the C++ state and
+        rebuild every _RT_REBUILD windows (the dict ships per window, so a
+        stale dict decodes exactly; drift is guarded by the frozen caps).
+        Dict rank tie-breaks may differ from numpy; the decode is invariant."""
+        from cachedembedding_tpu._native import hostops
+
+        # caps and encoder state are functions of the frozen spec: invalidate
+        # both whenever the spec object changes (freeze, relearn, or a test
+        # poking _rt_spec directly)
+        if getattr(self, "_rt_caps_spec", None) is not self._rt_spec:
+            self._rt_caps_cache = {}
+            self._rt_encoders = {}
+            self._rt_caps_spec = self._rt_spec
+        caps_pf = self._rt_caps_cache.get(n)
+        if caps_pf is None:
+            caps_pf = []
+            for ent in self._rt_spec:
+                if ent[0] == "t":
+                    shares = ent[3]
+                    caps_pf.append(tuple(
+                        self._rt_cap(
+                            s, n, self._RT_T3_MARGIN if k == 3 else None
+                        )
+                        for k, s in enumerate(shares)
+                    ))
+                else:
+                    caps_pf.append((0, 0, 0, 0))
+            self._rt_caps_cache[n] = caps_pf
+        enc = self._rt_encoders.get(n)
+        if enc is None:
+            enc = hostops.make_ranktier_encoder(
+                self._rt_spec, caps_pf, self._device_rows()
+            )
+            if enc is None:
+                return None
+            self._rt_encoders[n] = enc
+            enc._needs_rebuild = True  # fresh state: dictionaries are empty
+        rebuild = enc._needs_rebuild or (
+            self._rt_enc_windows % self._RT_REBUILD == 0
+        )
+        enc._needs_rebuild = False
+        self._rt_enc_windows += 1
+        res = enc.encode(slot3, ne, rebuild)
+        if res == "esc_overflow":
+            return plain()
+        if isinstance(res, tuple) and isinstance(res[0], str):  # "overflow"
+            _, f, cnts, caps = res
+            self._rt_overflows = getattr(self, "_rt_overflows", 0) + 1
+            self._rt_overflow_info = (f, cnts, caps)
+            if self._rt_overflows >= self._RT_FALLBACK_RESET:
+                self._rt_spec = None
+                self._rt_stats = None
+                self._rt_seen = 0
+                self._rt_skip = self._RT_SKIP_WINDOWS  # already warm
+                self._rt_overflows = 0
+                self._rt_caps_cache = {}
+                self._rt_encoders = {}
+            return plain()
+        self._rt_overflows = 0
+        fblocks, opos, oval = res
+        entries_out = tuple(
+            ("p", ent[1], ent[2]) if ent[0] == "p"
+            else ("t", ent[1], ent[2], caps_pf[f], ent[4])
+            for f, ent in enumerate(self._rt_spec)
+        )
+        pos = np.full((ne,), P * L, np.uint32)
+        val = np.zeros((ne,), np.int32)
+        if opos.size:
+            pos[: opos.size] = opos
+            val[: oval.size] = oval
+        out = np.concatenate(
+            [fblocks, pos.view(np.uint8), val.view(np.uint8)]
+        )
+        return out, ("rt", entries_out, ne), out.nbytes
 
     def _tier_encode(self, slot3: np.ndarray, spec, P: int, L: int, Bf: int):
         """Rank-tier window encode. Returns (bytes, layout_spec, nbytes);
@@ -1608,6 +1699,9 @@ class CachedDLRMTrainer:
             return plain()
 
         ne = self._rt_ne
+        native = self._tier_encode_native(slot3, P, L, n, ne, plain)
+        if native is not None:
+            return native
         entries_out = []
         blocks = []
         pos_parts, val_parts = [], []
@@ -1669,6 +1763,8 @@ class CachedDLRMTrainer:
                     self._rt_seen = 0
                     self._rt_skip = self._RT_SKIP_WINDOWS  # already warm
                     self._rt_overflows = 0
+                    self._rt_caps_cache = {}
+                    self._rt_encoders = {}
                 return plain()
             self._rt_overflows = 0
             t8 = tier.astype(np.uint8)

@@ -117,3 +117,83 @@ def test_rank_sym_roundtrip():
     assert (sym >= -1).all() and (sym < 3).all()
     recon = np.where(sym >= 0, dv[np.clip(sym, 0, 3)], vals)
     np.testing.assert_array_equal(recon, vals)
+
+
+def test_native_encoder_decode_parity_and_fallbacks():
+    """The C++ steady-state encoder (hostops.RankTierEncoder) must produce a
+    byte stream that DECODES to the exact slot ids — including across stale
+    dictionaries (ranks rebuilt only every _RT_REBUILD windows), plain-entry
+    escapes, and the numpy encoder's layout/size contract. Dict rank
+    tie-breaks may differ from numpy, so parity is checked at decode level."""
+    from cachedembedding_tpu._native import hostops
+    from cachedembedding_tpu.train.trainer import _decode_window_ids
+    import jax.numpy as jnp
+
+    if not hostops.native_available():
+        pytest.skip("libhostops.so not built")
+
+    P, F, Bf = 4, 3, 256
+    L = F * Bf
+    n = P * Bf
+    rng = np.random.default_rng(7)
+
+    class Shim:
+        pass
+
+    s = Shim()
+    for name in (
+        "_RT_WIDTHS", "_RT_SKIP_WINDOWS", "_RT_LEARN_WINDOWS",
+        "_RT_CAP_MARGIN", "_RT_T3_MARGIN", "_RT_FALLBACK_RESET",
+        "_RT_DICT_W", "_RT_REBUILD", "_ESC_MAX_RATE", "_ESC_BITS",
+    ):
+        setattr(s, name, getattr(CachedDLRMTrainer, name))
+    s._rt_stats, s._rt_seen, s._rt_spec, s._rt_ne = None, 0, None, 0
+    s._rt_skip = 10**9  # learn immediately
+    s._rt_caps_cache, s._rt_encoders, s._rt_enc_windows = {}, {}, 0
+    s.embed = object()  # no _is_res_table, not a CachedEmbeddingBag
+    s._rt_dict_features = lambda F: [True] * F
+    s._rt_rank_sym = CachedDLRMTrainer._rt_rank_sym
+    s._tier_learn = CachedDLRMTrainer._tier_learn.__get__(s)
+    s._tier_freeze = CachedDLRMTrainer._tier_freeze.__get__(s)
+    s._tier_encode = CachedDLRMTrainer._tier_encode.__get__(s)
+    s._tier_encode_native = CachedDLRMTrainer._tier_encode_native.__get__(s)
+    s._rt_cap = CachedDLRMTrainer._rt_cap
+    s._device_rows = lambda: 9000
+
+    def window():
+        return (rng.zipf(1.3, size=(P, F, Bf)) - 1).clip(0, 8999).astype(np.int32)
+
+    spec = [(16, 0)] * F
+    for _ in range(s._RT_LEARN_WINDOWS - s._RT_SKIP_WINDOWS):
+        s._tier_learn(window(), spec, P, Bf)
+    assert s._rt_spec, "no spec frozen"
+
+    # several windows: exercises fresh-dict, stale-dict and rebuild windows
+    for i in range(2 * s._RT_REBUILD + 3):
+        vals = window()
+        out, layout, nb = s._tier_encode(vals, spec, P, L, Bf)
+        assert isinstance(layout, tuple)
+        dec, end = _decode_window_ids(
+            jnp.asarray(out), (P, L, 0, 0, 0, layout)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec), vals.reshape(P, L),
+            err_msg=f"window {i} (layout {layout[0] if layout else '?'})",
+        )
+        if layout[0] == "rt":
+            assert end == nb
+    assert s._rt_encoders, "native encoder was never engaged"
+
+    # layout + size parity vs the numpy encoder on the same window
+    vals = window()
+    out_n, lay_n, nb_n = s._tier_encode(vals, spec, P, L, Bf)
+    orig = hostops.make_ranktier_encoder
+    hostops.make_ranktier_encoder = lambda *a, **k: None
+    try:
+        s._rt_encoders = {}
+        out_p, lay_p, nb_p = s._tier_encode(vals, spec, P, L, Bf)
+    finally:
+        hostops.make_ranktier_encoder = orig
+    assert lay_n == lay_p and nb_n == nb_p
+    dec_p, _ = _decode_window_ids(jnp.asarray(out_p), (P, L, 0, 0, 0, lay_p))
+    np.testing.assert_array_equal(np.asarray(dec_p), vals.reshape(P, L))
