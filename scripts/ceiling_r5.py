@@ -41,6 +41,7 @@ VARIANTS = {
     "iso+onehot8192": dict(isolate_gather=True, onehot_max_rows=8192),
     "intergather": dict(interaction_impl="gather"),
     "ranktier": dict(id_wire="ranktier"),
+    "dense4": dict(dense_input_dtype="int4"),
 }
 
 
@@ -137,11 +138,12 @@ def main():
             "isolate_gather", trainer_mod._ISOLATE_GATHER
         )
         inter = kn.pop("interaction_impl", "bmm")
+        dense_dt = kn.pop("dense_input_dtype", "int8")
         cfg = DLRMConfig(
             num_embeddings_per_feature=tables, embedding_dim=128,
             dense_in_features=13, batch_size=args.batch_size,
             learning_rate=1.0, compute_dtype="bfloat16",
-            dense_input_dtype="int8", interaction_impl=inter,
+            dense_input_dtype=dense_dt, interaction_impl=inter,
             cache=CacheConfig(
                 cache_ratio=0.01, warmup_ratio=0.7,
                 prefetch_num=args.prefetch, buffer_size=0,
